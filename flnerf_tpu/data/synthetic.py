@@ -1,0 +1,77 @@
+"""Procedural synthetic dataset for tests and offline benchmarking.
+
+No datasets ship with this environment, so tests and the benchmark harness
+use an analytically-rendered scene: diffuse emissive spheres in a unit-ish
+volume on a white background, rendered by exact ray-sphere intersection.
+This gives a blender-like (images, poses, hwf) tuple with real multi-view
+consistency, so a NeRF trained on it must actually learn 3D structure.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix, pose_spherical
+
+
+# A few fixed spheres: (center xyz, radius, rgb color)
+_SPHERES = np.array(
+    [
+        [0.0, 0.0, 0.0, 0.6, 0.9, 0.2, 0.2],
+        [0.5, 0.5, 0.3, 0.3, 0.2, 0.8, 0.3],
+        [-0.5, 0.3, -0.2, 0.25, 0.2, 0.3, 0.9],
+        [0.1, -0.6, 0.2, 0.3, 0.9, 0.8, 0.1],
+    ],
+    dtype=np.float32,
+)
+
+
+def render_gt(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+    """Exact render: nearest sphere hit colors the pixel (lambert-ish shade),
+    else white background. rays_*: [..., 3]."""
+    sh = rays_o.shape[:-1]
+    o = rays_o.reshape(-1, 3)
+    d = rays_d.reshape(-1, 3)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    best_t = np.full(o.shape[0], np.inf, np.float32)
+    color = np.ones((o.shape[0], 3), np.float32)  # white background
+    for cx, cy, cz, r, cr, cg, cb in _SPHERES:
+        c = np.array([cx, cy, cz], np.float32)
+        oc = o - c
+        b = np.sum(oc * d, -1)
+        disc = b * b - (np.sum(oc * oc, -1) - r * r)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        valid = hit & (t > 1e-3) & (t < best_t)
+        if valid.any():
+            p = o[valid] + t[valid, None] * d[valid]
+            n = (p - c) / r
+            shade = 0.55 + 0.45 * np.clip(-n @ np.array([0.3, -0.5, 0.8], np.float32), 0, 1)
+            color[valid] = np.array([cr, cg, cb], np.float32) * shade[:, None]
+            best_t[valid] = t[valid]
+    return color.reshape(*sh, 3)
+
+
+def load_synthetic_data(
+    n_train: int = 8, n_test: int = 2, H: int = 64, W: int = 64
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, list, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Blender-loader-shaped output: (images, poses, render_poses, hwf, i_split)."""
+    focal = 0.9 * W
+    K = intrinsics_matrix(H, W, focal)
+    n = n_train + n_test
+    thetas = np.linspace(-180, 180, n, endpoint=False)
+    poses = np.stack([pose_spherical(t, -25.0, 3.5) for t in thetas], 0)
+
+    images = []
+    for i in range(n):
+        ro, rd = get_rays_np(H, W, K, poses[i][:3, :4])
+        images.append(render_gt(ro, rd))
+    images = np.stack(images, 0)
+
+    render_poses = np.stack([pose_spherical(t, -25.0, 3.5) for t in np.linspace(-180, 180, 12, endpoint=False)], 0)
+    i_split = [np.arange(n_train), np.arange(n_train, n), np.arange(n_train, n)]
+    hwf = [H, W, focal]
+    return images, poses, render_poses, hwf, i_split

@@ -1,0 +1,157 @@
+"""Parity tests for the quadtree ray-budget subsystem against the reference's
+rules (nerf-ours/tree.py; see docstrings in flnerf_tpu/rays/quadtree.py)."""
+
+import numpy as np
+import pytest
+
+from flnerf_tpu.rays.quadtree import QuadTreeForest, RayBudgeter, RayEpoch
+
+
+def _budgeter(n=3, H=32, W=32, init_level=2, seed=0):
+    rng = np.random.default_rng(42)
+    images = rng.random((n, H, W, 3)).astype(np.float32)
+    origins = rng.random((n, H, W, 3)).astype(np.float32)
+    dirs = rng.random((n, H, W, 3)).astype(np.float32) + 0.1
+    return RayBudgeter(images, origins, dirs, init_level=init_level, seed=seed)
+
+
+def test_uniform_init_matches_reference():
+    # init_subdivide_v1 with mseThres=0 -> full uniform tree of depth
+    # init_level; leaves = 4^(level-1); minArea = H*W/4^(level-1) (tree.py:94)
+    f = QuadTreeForest.uniform(2, 32, 48, init_level=3)
+    assert f.n_leaves == 2 * 16
+    np.testing.assert_allclose(f.min_area, 32 * 48 / 16.0)
+    np.testing.assert_allclose(f.areas(), 32 * 48 / 16.0)
+    # boxes tile the image exactly
+    for i in range(2):
+        sel = f.img == i
+        assert np.isclose(f.areas()[sel].sum(), 32 * 48)
+
+
+def test_ray_count_rule():
+    """10 rays for non-deepest leaves; int(area * rate) for deepest
+    (tree.py:577-581 with ray_num_per_pixel = 1/down_scale)."""
+    b = _budgeter(n=2, H=32, W=32, init_level=2)
+    counts = b.ray_counts(down_scale=1)
+    # all leaves are at min area initially -> area*1 = (32*32/4) rays each
+    np.testing.assert_array_equal(counts, 256)
+
+    counts2 = b.ray_counts(down_scale=4)
+    np.testing.assert_array_equal(counts2, 64)
+
+    # subdivide one leaf of image 0 -> others become non-deepest (10 rays)
+    stat = np.full(b.forest.n_leaves, -np.inf)
+    stat[0] = 1.0
+    n_split = b.adjust(stat, thres=0.5)
+    assert n_split == 1
+    counts3 = b.ray_counts(down_scale=1)
+    # image 0: 3 old leaves now non-deepest -> 10; 4 children deepest -> 64 each
+    img0 = b.forest.img == 0
+    c0 = counts3[img0]
+    assert sorted(c0.tolist()) == [10, 10, 10, 64, 64, 64, 64]
+    # image 1 untouched: minArea unchanged -> still deepest at 256
+    np.testing.assert_array_equal(counts3[~img0], 256)
+
+
+def test_subdivide_semantics():
+    b = _budgeter(n=1, H=16, W=16, init_level=2)
+    f = b.forest
+    m0 = f.min_area.copy()
+    # split two leaves at once: minArea divides by 4 only once (tree.py:648-650)
+    stat = np.array([1.0, 1.0, -np.inf, -np.inf])
+    n = f.subdivide(stat, thres=0.5)
+    assert n == 2
+    assert f.n_leaves == 2 + 8
+    np.testing.assert_allclose(f.min_area, m0 / 4)
+    # children tile their parents
+    np.testing.assert_allclose(f.areas().sum(), 16 * 16)
+
+    # non-deepest leaves never split even with huge loss
+    stat2 = np.full(f.n_leaves, 1e9)
+    areas = f.areas()
+    deepest = np.isclose(areas, f.min_area[f.img])
+    n2 = f.subdivide(stat2, thres=0.5)
+    assert n2 == int(deepest.sum())
+
+
+def test_child_box_order_matches_reference():
+    f = QuadTreeForest.uniform(1, 8, 8, init_level=1)
+    f.subdivide(np.array([1.0]), thres=0.0)
+    # reference subdivide_once order (tree.py:57-72)
+    np.testing.assert_allclose(
+        f.boxes,
+        [[0, 0, 4, 4], [4, 0, 8, 4], [0, 4, 4, 8], [4, 4, 8, 8]],
+    )
+
+
+def test_gen_rays_schedule_and_bounds():
+    b = _budgeter(n=2, H=32, W=32, init_level=2)
+    ep = b.gen_rays(down_scale=1, shuffle=True)
+    # epoch 1: every leaf deepest -> n_images * H * W rays total
+    assert ep.origins.shape[0] == 2 * 32 * 32
+    assert ep.leaf_id.max() < b.forest.n_leaves
+    assert ep.n_leaves == b.forest.n_leaves
+    # rgb values must be actual image pixels
+    assert set(np.round(ep.rgb[:, 0], 6)).issubset(set(np.round(b.images[..., 0].ravel(), 6)))
+
+
+def test_gen_rays_pixels_inside_leaf():
+    b = _budgeter(n=1, H=16, W=16, init_level=3)
+    ep = b.gen_rays(shuffle=False)
+    boxes = b.forest.boxes
+    # reconstruct pixel from rgb is hard; instead re-draw with known leaves
+    leaf_of_ray, px, py = b._draw_uniform_pixels(boxes, np.full(boxes.shape[0], 50))
+    x0, y0, x1, y1 = boxes[leaf_of_ray].T
+    assert (px >= np.ceil(x0)).all() and (px < np.maximum(np.ceil(x1), np.ceil(x0) + 1)).all()
+    assert (py >= np.ceil(y0)).all() and (py < np.maximum(np.ceil(y1 - 0.01), np.ceil(y0) + 1)).all()
+
+
+def test_last_epoch_all_pixel():
+    b = _budgeter(n=2, H=16, W=16, init_level=3)
+    # mutate the forest first
+    b.adjust(np.full(b.forest.n_leaves, 1.0), thres=0.0)
+    ep = b.gen_rays(down_scale=1, last_epoch=True)
+    # single-leaf trees emit int(H*W) rays per image (tree.py:389-400)
+    assert ep.origins.shape[0] == 2 * 16 * 16
+    assert ep.n_leaves == 2
+    assert set(np.unique(ep.leaf_id)) == {0, 1}
+    # the budgeter's own forest must be untouched (reference replaces it; we
+    # keep ours because the last epoch never subdivides)
+    assert b.forest.n_leaves > 2
+
+
+def test_leaf_stat_grouping():
+    b = _budgeter(n=1, H=8, W=8, init_level=2)
+    ep = RayEpoch(
+        origins=np.zeros((6, 3), np.float32),
+        dirs=np.zeros((6, 3), np.float32),
+        rgb=np.zeros((6, 3), np.float32),
+        leaf_id=np.array([0, 0, 1, 1, 3, 3], np.int32),
+        n_leaves=4,
+    )
+    err = np.array([0.1, 0.5, 0.2, 0.05, 0.9, 0.3])
+    stat = b.compute_leaf_stat(ep, err, stat="max")
+    np.testing.assert_allclose(stat, [0.5, 0.2, -np.inf, 0.9])
+    stat_mean = b.compute_leaf_stat(ep, err, stat="mean")
+    np.testing.assert_allclose(stat_mean, [0.3, 0.125, -np.inf, 0.6])
+
+
+def test_forest_save_load(tmp_path):
+    b = _budgeter(n=2, H=16, W=16, init_level=2)
+    b.adjust(np.full(b.forest.n_leaves, 1.0), thres=0.0)
+    p = str(tmp_path / "treeDivide_0001.pkl")
+    b.forest.save(p)
+    f2 = QuadTreeForest.load(p)
+    np.testing.assert_allclose(f2.boxes, b.forest.boxes)
+    np.testing.assert_array_equal(f2.img, b.forest.img)
+    np.testing.assert_allclose(f2.min_area, b.forest.min_area)
+    assert f2.cur_level == b.forest.cur_level
+
+
+def test_prob_sampling_in_bounds():
+    b = _budgeter(n=1, H=16, W=16, init_level=2)
+    ep = b.gen_rays(prob=True, rand_samp_perc=0.5)
+    assert ep.origins.shape[0] > 0
+    # half prob, half uniform still respects total budget per leaf
+    counts = b.ray_counts(1)
+    assert ep.origins.shape[0] == counts.sum()
