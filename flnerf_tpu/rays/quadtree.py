@@ -53,6 +53,7 @@ class RayEpoch(NamedTuple):
     rgb: np.ndarray       # [N, 3] float32
     leaf_id: np.ndarray   # [N] int32 — global index into the CURRENT forest
     n_leaves: int         # forest size M when these rays were generated
+    viewdirs: Optional[np.ndarray] = None  # [N, 3] pre-NDC unit dirs (LLFF)
 
 
 def _uniform_forest(n_images: int, H: int, W: int, depth: int):
@@ -193,10 +194,14 @@ class RayBudgeter:
         init_level: int = 2,
         seed: int = 0,
         enable_sharpness: bool = True,
+        viewdirs: Optional[np.ndarray] = None,
     ):
         self.images = np.ascontiguousarray(images, dtype=np.float32)
         self.origins = np.ascontiguousarray(origins, dtype=np.float32)
         self.dirs = np.ascontiguousarray(dirs, dtype=np.float32)
+        self.viewdirs = (
+            np.ascontiguousarray(viewdirs, dtype=np.float32) if viewdirs is not None else None
+        )
         self.n_images, self.H, self.W = images.shape[:3]
         self.epoch_size = self.n_images * self.H * self.W
         self.forest = QuadTreeForest.uniform(self.n_images, self.H, self.W, init_level)
@@ -271,13 +276,16 @@ class RayBudgeter:
         rgb = self.images[img_of_ray, px, py]
         origins = self.origins[img_of_ray, px, py]
         dirs = self.dirs[img_of_ray, px, py]
+        vdirs = self.viewdirs[img_of_ray, px, py] if self.viewdirs is not None else None
         leaf_id = leaf_of_ray.astype(np.int32)
 
         if shuffle:
             perm = self.rng.permutation(rgb.shape[0])
             rgb, origins, dirs, leaf_id = rgb[perm], origins[perm], dirs[perm], leaf_id[perm]
+            if vdirs is not None:
+                vdirs = vdirs[perm]
 
-        return RayEpoch(origins, dirs, rgb, leaf_id, forest.n_leaves)
+        return RayEpoch(origins, dirs, rgb, leaf_id, forest.n_leaves, vdirs)
 
     def adjust(self, leaf_stat: np.ndarray, thres: float) -> int:
         """Subdivide based on the on-device per-leaf loss statistic."""

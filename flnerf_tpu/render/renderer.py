@@ -35,6 +35,8 @@ class RenderConfig(NamedTuple):
     near: float = 2.0
     far: float = 6.0
     use_viewdirs: bool = True
+    ndc: bool = False            # LLFF forward-facing NDC rays
+    ndc_focal: float = 0.0       # focal used by the NDC projection
 
 
 def render_rays(
@@ -45,20 +47,24 @@ def render_rays(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
     cfg: RenderConfig,
+    viewdirs: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ray batch.
 
     Args:
       query_fn(params, pts [N,S,3], viewdirs [N,3]|None) -> raw [N,S,4].
-      rays_o, rays_d: [N, 3].
+      rays_o, rays_d: [N, 3] (already NDC-transformed for LLFF scenes).
+      viewdirs: optional pre-NDC unit directions (render.py:59-66 computes
+        them before the NDC projection).
     Returns dict with rgb/disp/acc (fine) and rgb0/disp0/acc0 (coarse).
     """
     n_rays = rays_o.shape[0]
     k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
 
-    viewdirs = None
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and viewdirs is None:
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    elif not cfg.use_viewdirs:
+        viewdirs = None
 
     z_vals = stratified_z_vals(
         k_strat, n_rays, cfg.near, cfg.far, cfg.n_samples,
@@ -99,11 +105,14 @@ def render_rays(
 
 
 @functools.partial(jax.jit, static_argnames=("query_fn", "cfg"))
-def _render_chunk_eval(params_coarse, params_fine, query_fn, cfg, rays_o, rays_d):
+def _render_chunk_eval(params_coarse, params_fine, query_fn, cfg, rays_o, rays_d, viewdirs):
     """Deterministic (perturb=0, no noise) chunk render for eval."""
     eval_cfg = cfg._replace(perturb=0.0, raw_noise_std=0.0)
     key = jax.random.PRNGKey(0)  # unused on the deterministic path
-    return render_rays(key, params_coarse, params_fine, query_fn, rays_o, rays_d, eval_cfg)
+    return render_rays(
+        key, params_coarse, params_fine, query_fn, rays_o, rays_d, eval_cfg,
+        viewdirs=viewdirs,
+    )
 
 
 def render_image(
@@ -121,23 +130,34 @@ def render_image(
 
     Returns (rgb [H,W,3], disp [H,W], acc [H,W]) as numpy arrays.
     """
-    from flnerf_tpu.rays.camera import get_rays
+    from flnerf_tpu.rays.camera import get_rays, ndc_rays
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if cfg.ndc:
+        focal = cfg.ndc_focal if cfg.ndc_focal else float(K[0][0])
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
     n = rays_o.shape[0]
     n_pad = (n + chunk - 1) // chunk * chunk
     pad = n_pad - n
     if pad:
         rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))], 0)
         rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))], 0)
+        if viewdirs is not None:
+            viewdirs = jnp.concatenate(
+                [viewdirs, jnp.broadcast_to(viewdirs[-1:], (pad, 3))], 0
+            )
 
     rgbs, disps, accs = [], [], []
     for i in range(0, n_pad, chunk):
         out = _render_chunk_eval(
             params_coarse, params_fine, query_fn, cfg,
             rays_o[i : i + chunk], rays_d[i : i + chunk],
+            viewdirs[i : i + chunk] if viewdirs is not None else None,
         )
         rgbs.append(out["rgb"])
         disps.append(out["disp"])

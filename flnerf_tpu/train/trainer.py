@@ -119,11 +119,13 @@ class NerfTrainer:
         use_mean = cfg.leaf_stat == "mean"
 
         def one_step(state: TrainState, buffers, xs):
-            origins, dirs, rgb, leaf, mask, key = xs
+            origins, dirs, viewdirs, rgb, leaf, mask, key = xs
 
             def loss_fn(pc_pf):
                 pc, pf = pc_pf
-                out = render_rays(key, pc, pf, query_fn, origins, dirs, rc)
+                out = render_rays(
+                    key, pc, pf, query_fn, origins, dirs, rc, viewdirs=viewdirs
+                )
                 m = mask[:, None]
                 denom = jnp.maximum(jnp.sum(mask), 1.0) * 3.0
                 fine_mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
@@ -164,7 +166,7 @@ class NerfTrainer:
             new_state = TrainState(new_pc, new_pf, new_opt, state.global_iter + 1)
             return new_state, new_buffers, (loss, fine_mse)
 
-        def chunk_fn(state: TrainState, buffers, origins, dirs, rgb, leaf, mask, base_key):
+        def chunk_fn(state: TrainState, buffers, origins, dirs, viewdirs, rgb, leaf, mask, base_key):
             keys = jax.random.split(base_key, origins.shape[0])
 
             def body(carry, xs):
@@ -173,7 +175,7 @@ class NerfTrainer:
                 return (st, buf), metrics
 
             (state, buffers), metrics = jax.lax.scan(
-                body, (state, buffers), (origins, dirs, rgb, leaf, mask, keys)
+                body, (state, buffers), (origins, dirs, viewdirs, rgb, leaf, mask, keys)
             )
             return state, buffers, metrics
 
@@ -181,7 +183,7 @@ class NerfTrainer:
         rep = replicated(self.mesh)
         jitted = jax.jit(
             chunk_fn,
-            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh, data_sh, rep),
+            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh, data_sh, data_sh, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -227,6 +229,11 @@ class NerfTrainer:
         origins = pad(epoch.origins)
         dirs = pad(epoch.dirs)
         dirs[n:] = np.array([0, 0, -1.0], np.float32)  # keep norms finite
+        if epoch.viewdirs is not None:
+            vdirs = pad(epoch.viewdirs)
+        else:
+            vdirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        vdirs[n:] = np.array([0, 0, -1.0], np.float32)
         rgb = pad(epoch.rgb)
         leaf = pad(epoch.leaf_id.astype(np.int32))
         mask = np.zeros(n_pad, np.float32)
@@ -244,7 +251,8 @@ class NerfTrainer:
         for ci in range(n_chunks):
             sl = slice(ci * B * K, (ci + 1) * B * K)
             args = [
-                a[sl].reshape((K, B) + a.shape[1:]) for a in (origins, dirs, rgb, leaf, mask)
+                a[sl].reshape((K, B) + a.shape[1:])
+                for a in (origins, dirs, vdirs, rgb, leaf, mask)
             ]
             args = [jax.device_put(a, data_sh) for a in args]
             self.state, buffers, metrics = chunk_fn(self.state, buffers, *args, keys[ci])

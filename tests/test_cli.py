@@ -1,0 +1,83 @@
+"""CLI smoke test: the reference-flag entry point trains, checkpoints with
+format parity, resumes, and renders (run_nerf.py flow)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from flnerf_tpu.cli.run_nerf import config_parser, main
+
+
+def _argv(tmp_path, extra=()):
+    return [
+        "--expname", "smoke",
+        "--basedir", str(tmp_path),
+        "--dataset_type", "synthetic",
+        "--n_epoch", "2",
+        "--N_rand", "256",
+        "--N_samples", "12",
+        "--N_importance", "12",
+        "--netdepth", "2",
+        "--netwidth", "32",
+        "--netdepth_fine", "2",
+        "--netwidth_fine", "32",
+        "--multires", "4",
+        "--multires_views", "2",
+        "--use_viewdirs",
+        "--white_bkgd",
+        "--precrop_iters", "0",
+        "--subdivide_every", "1",
+        "--subdivide_thres", "0.05",
+        "--steps_per_chunk", "2",
+        "--compute_dtype", "float32",
+        "--chunk", "1024",
+        "--init_level", "2",
+    ] + list(extra)
+
+
+def test_cli_flag_surface_matches_reference():
+    """Every quadtree/training flag from nerf-ours/argument_parser.py must
+    exist (BASELINE: preserve the configargparse CLI)."""
+    p = config_parser()
+    args = p.parse_args([])
+    for flag in (
+        "expname", "basedir", "datadir", "netdepth", "netwidth",
+        "netdepth_fine", "netwidth_fine", "N_rand", "lrate", "lrate_decay",
+        "chunk", "netchunk", "no_batching", "no_reload", "ft_path",
+        "N_samples", "N_importance", "perturb", "use_viewdirs", "i_embed",
+        "multires", "multires_views", "raw_noise_std", "render_only",
+        "render_test", "render_factor", "precrop_iters", "precrop_frac",
+        "n_epoch", "init_level", "rays_downscale", "subdivide_every",
+        "subdivide_thres", "randSamp_perc", "dset_name", "end_rand",
+        "dataset_type", "testskip", "shape", "white_bkgd", "half_res",
+        "factor", "no_ndc", "lindisp", "spherify", "llffhold",
+        "i_print", "i_img", "i_weights", "i_testset", "i_video",
+    ):
+        assert hasattr(args, flag), flag
+
+
+def test_cli_train_checkpoint_resume_render(tmp_path):
+    results = main(_argv(tmp_path))
+    run_dir = os.path.join(str(tmp_path), "smoke")
+    # reference artifact layout
+    assert os.path.exists(os.path.join(run_dir, "args.txt"))
+    assert os.path.exists(os.path.join(run_dir, "001.tar"))
+    assert os.path.exists(os.path.join(run_dir, "002.tar"))
+    assert os.path.exists(os.path.join(run_dir, "treeDivide_0001.pkl"))
+    assert os.path.exists(os.path.join(run_dir, "treeDivide_0002.pkl"))
+    assert results is not None and "psnr" in results
+    # testset renders + results.txt
+    tdir = os.path.join(run_dir, "testset_002")
+    assert os.path.exists(os.path.join(tdir, "results.txt"))
+    assert os.path.exists(os.path.join(tdir, "000.png"))
+
+    # resume: auto-pick latest tar; trains 0 more epochs (start==n_epoch)
+    results2 = main(_argv(tmp_path))
+    assert results2 is not None
+
+    # render_only from the checkpoint
+    results3 = main(_argv(tmp_path, ["--render_only", "--render_test"]))
+    assert results3 is not None and np.isfinite(results3["psnr"])
+    rodir = os.path.join(run_dir, "renderonly_test_002")
+    assert os.path.exists(os.path.join(rodir, "results.txt"))
