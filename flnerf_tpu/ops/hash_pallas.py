@@ -1,0 +1,308 @@
+"""Pallas TPU kernels for the multiresolution hash encoding (fwd + custom VJP).
+
+Why this exists: XLA's TPU scatter processes ~12M updates/s and its gather
+~15-25M rows/s — a single NGP training step needs ~10M of each, so the
+reference's CUDA-atomics design (ngp-ours/gridencoder/src/gridencoder.cu)
+has no efficient direct translation.  These kernels reformulate BOTH
+directions as MXU matmuls against a lane-partitioned table:
+
+  table level  : [T_r, 128, C]  (entry t lives at row t>>7, lane t&127)
+  forward      : rows  = onehot(hi) @ table        (MXU row fetch)
+                 feat  = sum_l rows[:, l, :] * [lo == l]   (VPU lane select)
+  backward     : grad += onehot(hi)^T @ (onehot(lo) * v)   (MXU accumulate
+                 into a VMEM scratch, written out on the last chunk)
+
+Cost is O(M * T * C) MAC on the MXU — the price of avoiding scatter — so
+per-level table sizes are capped (2^15/2^16 on TPU instead of torch-ngp's
+2^19); level geometry (scales/resolutions/index semantics) still matches
+gridencoder.cu:125-135 exactly, via flnerf_tpu.ops.hash_encoding.
+
+The one-hot matrices are built in VMEM per chunk and never touch HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flnerf_tpu.ops.hash_encoding import HashGridSpec, make_hashgrid_spec
+
+LANES = 128
+
+
+class PackedHashSpec(NamedTuple):
+    """Static geometry for the Pallas kernels (all levels padded to T_cap)."""
+
+    base: HashGridSpec
+    t_cap: int            # padded per-level table entries (multiple of 128)
+    t_r: int              # t_cap // 128
+
+    @property
+    def num_levels(self) -> int:
+        return self.base.num_levels
+
+    @property
+    def level_dim(self) -> int:
+        return self.base.level_dim
+
+    @property
+    def output_dim(self) -> int:
+        return self.base.output_dim
+
+
+def make_packed_spec(
+    num_levels: int = 16,
+    level_dim: int = 2,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 15,
+    desired_resolution: int = 2048,
+) -> PackedHashSpec:
+    base = make_hashgrid_spec(
+        num_levels=num_levels,
+        level_dim=level_dim,
+        base_resolution=base_resolution,
+        log2_hashmap_size=log2_hashmap_size,
+        desired_resolution=desired_resolution,
+    )
+    t_cap = int(max(base.sizes))
+    t_cap = (t_cap + LANES - 1) // LANES * LANES
+    return PackedHashSpec(base=base, t_cap=t_cap, t_r=t_cap // LANES)
+
+
+def init_packed_table(key, spec: PackedHashSpec) -> jnp.ndarray:
+    """[L, C, T_r, 128] fp32, U(-1e-4, 1e-4) (torch-ngp grid.py init).
+
+    Layout: entry t of level l feature c lives at [l, c, t >> 7, t & 127] —
+    C leads so every kernel slice is a clean (T_r, 128) 2-D tile.
+    """
+    return jax.random.uniform(
+        key,
+        (spec.num_levels, spec.level_dim, spec.t_r, LANES),
+        jnp.float32, -1e-4, 1e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index/weight computation (cheap VPU work, stays in XLA)
+# ---------------------------------------------------------------------------
+
+_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
+
+
+def corner_indices_weights(x01: jnp.ndarray, spec: PackedHashSpec):
+    """Per level: the 8 corner table indices + trilinear weights.
+
+    Returns hi [L, N*8] int32, lo [L, N*8] int32, w [L, N*8] f32.
+    Index semantics == gridencoder.cu:125-135 (scale, +0.5, dense-vs-hash).
+    """
+    base = spec.base
+    n = x01.shape[0]
+    scales = jnp.asarray(base.scales)[:, None, None]          # [L,1,1]
+    pos = x01[None] * scales + 0.5                            # [L, N, 3]
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pos_grid = pos_grid.astype(jnp.int32)
+
+    resolutions = jnp.asarray(base.resolutions)[:, None]      # [L,1]
+    sizes = jnp.asarray(base.sizes.astype(np.int64), jnp.uint32)[:, None]
+    use_hash = jnp.asarray(base.use_hash)[:, None]
+
+    his, los, ws = [], [], []
+    for c in range(8):
+        bits = [(c >> d) & 1 for d in range(3)]
+        pg = pos_grid + jnp.asarray(bits, jnp.int32)          # [L, N, 3]
+        w = jnp.prod(
+            jnp.where(jnp.asarray([b == 1 for b in bits]), frac, 1.0 - frac),
+            axis=-1,
+        )                                                     # [L, N]
+        pgu = pg.astype(jnp.uint32)
+        stride = resolutions.astype(jnp.uint32) + jnp.uint32(1)
+        dense = pgu[..., 0] + stride * (pgu[..., 1] + stride * pgu[..., 2])
+        hsh = (
+            pgu[..., 0] * _PRIMES[0]
+            ^ pgu[..., 1] * _PRIMES[1]
+            ^ pgu[..., 2] * _PRIMES[2]
+        )
+        idx = (jnp.where(use_hash, hsh, dense) % sizes).astype(jnp.int32)
+        his.append(idx >> 7)
+        los.append(idx & (LANES - 1))
+        ws.append(w)
+
+    # interleave corners per point: [L, N, 8] -> [L, N*8]
+    hi = jnp.stack(his, -1).reshape(base.num_levels, n * 8)
+    lo = jnp.stack(los, -1).reshape(base.num_levels, n * 8)
+    w = jnp.stack(ws, -1).reshape(base.num_levels, n * 8)
+    return hi, lo, w
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, out_ref):
+    """One (level, chunk): weighted corner features for CH corner-queries."""
+    ch = hi_ref.shape[1]
+    t_r = table_ref.shape[2]
+    c_dim = table_ref.shape[1]
+
+    hi = hi_ref[0, :, 0]                                      # [CH]
+    lo = lo_ref[0, :, 0]
+    w = w_ref[0, :, 0]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, t_r), 1)
+    oh_hi = (hi[:, None] == row_ids).astype(jnp.bfloat16)     # [CH, T_r]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 1)
+    sel = lo[:, None] == lane_ids                             # [CH, 128]
+
+    feats = []
+    for c in range(c_dim):
+        rows = jax.lax.dot_general(
+            oh_hi, table_ref[0, c].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [CH, 128]
+        feats.append(jnp.sum(jnp.where(sel, rows, 0.0), axis=1))
+    out_ref[0] = jnp.stack(feats, axis=-1) * w[:, None]
+
+
+def _bwd_kernel(hi_ref, lo_ref, v_ref, grad_ref, acc_ref):
+    """One (level, chunk): accumulate grad_table += OH_hi^T @ (OH_lo * v)."""
+    ch = hi_ref.shape[1]
+    t_r = acc_ref.shape[1]
+    c_dim = acc_ref.shape[0]
+    chunk_idx = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(chunk_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    hi = hi_ref[0, :, 0]
+    lo = lo_ref[0, :, 0]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, t_r), 1)
+    oh_hi = (hi[:, None] == row_ids).astype(jnp.bfloat16)     # [CH, T_r]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 1)
+    oh_lo = (lo[:, None] == lane_ids)                         # [CH, 128] bool
+
+    for c in range(c_dim):
+        b = jnp.where(oh_lo, v_ref[0, :, c : c + 1], 0.0).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            oh_hi, b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [T_r, 128]
+        acc_ref[c] += g
+
+    @pl.when(chunk_idx == n_chunks - 1)
+    def _():
+        grad_ref[0] = acc_ref[...]
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def hash_encode_pallas(x01, table, spec: PackedHashSpec, chunk: int = 4096):
+    """Encode x01 in [0,1]^3 -> [N, L*C] features (Pallas fast path)."""
+    out, _ = _hash_encode_fwd(x01, table, spec, chunk)
+    return out
+
+
+def _prep(hi, lo, w, chunk):
+    n8 = hi.shape[1]
+    n8_pad = (n8 + chunk - 1) // chunk * chunk
+    if n8_pad != n8:
+        pad = n8_pad - n8
+        hi = jnp.pad(hi, ((0, 0), (0, pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, pad)), constant_values=-1)
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    return hi[..., None], lo[..., None], w[..., None], n8_pad
+
+
+def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
+    n = x01.shape[0]
+    L, C = spec.num_levels, spec.level_dim
+    hi, lo, w = corner_indices_weights(x01, spec)
+    hi3, lo3, w3, n8_pad = _prep(hi, lo, w, chunk)
+    n_chunks = n8_pad // chunk
+
+    feats = pl.pallas_call(
+        _fwd_kernel,
+        grid=(L, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, C, spec.t_r, LANES), lambda l, c: (l, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, chunk, C), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, n8_pad, C), jnp.float32),
+    )(hi3, lo3, w3, table)
+
+    # weighted corner features -> per-point sum -> [N, L*C]
+    out = feats[:, : n * 8, :].reshape(L, n, 8, C).sum(axis=2)
+    out = jnp.transpose(out, (1, 0, 2)).reshape(n, L * C)
+    return out, (hi3, lo3, w3, n)
+
+
+def _hash_encode_bwd(spec: PackedHashSpec, chunk: int, res, g):
+    hi3, lo3, w3, n = res
+    L, C = spec.num_levels, spec.level_dim
+    n8_pad = hi3.shape[1]
+    n_chunks = n8_pad // chunk
+
+    # upstream g [N, L*C] -> per-corner v = w * g  [L, N8_pad, C]
+    g_ln = jnp.transpose(g.reshape(n, L, C), (1, 0, 2))       # [L, N, C]
+    v = jnp.repeat(g_ln, 8, axis=1)                           # [L, N*8, C]
+    if v.shape[1] != n8_pad:
+        v = jnp.pad(v, ((0, 0), (0, n8_pad - v.shape[1]), (0, 0)))
+    v = v * w3
+
+    grad = pl.pallas_call(
+        _bwd_kernel,
+        grid=(L, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, C), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, spec.t_r, LANES), lambda l, c: (l, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, C, spec.t_r, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, spec.t_r, LANES), jnp.float32)],
+    )(hi3, lo3, v)
+    return None, grad
+
+
+hash_encode_pallas.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA twin (the "use_kernel=False" analog; correctness oracle in tests)
+# ---------------------------------------------------------------------------
+
+def hash_encode_xla(x01, table, spec: PackedHashSpec):
+    """Same math via jnp gathers (slow on TPU; differentiable)."""
+    n = x01.shape[0]
+    hi, lo, w = corner_indices_weights(x01, spec)
+    idx = hi * LANES + lo                                     # [L, N*8]
+    L, C = spec.num_levels, spec.level_dim
+    flat = jnp.transpose(table.reshape(L, C, spec.t_cap), (0, 2, 1))  # [L,T,C]
+    feats = jnp.take_along_axis(flat, idx[..., None], axis=1) # [L, N*8, C]
+    feats = (feats * w[..., None]).reshape(L, n, 8, C).sum(axis=2)
+    return jnp.transpose(feats, (1, 0, 2)).reshape(n, L * C)

@@ -1,0 +1,247 @@
+"""Instant-NGP training driver with probability-map ray selection.
+
+Reference behavior (ngp-ours):
+  * Trainer (nerf/utils.py:288-911): step-based AMP training, Adam
+    betas (0.9, 0.99) eps 1e-15, LambdaLR 0.1**(iter/max_iters), occupancy
+    update_extra_state every 16 steps (utils.py:837-839), random/white bg.
+  * Ray selection (the paper's grafting, nerf/provider.py + quadtree.py):
+    per-image probability map (uniform by default, optionally local-variance
+    based), multinomial draw WITH replacement (quadtree.py:141), per-ray
+    error mask hook (provider.py:353-361), all-pixel switch 10 epochs before
+    the end (utils.py:620-621, provider.py:363-366).
+
+TPU structure mirrors train/trainer.py: lax.scan over a chunk of optimizer
+steps per dispatch; the occupancy grid refresh runs between chunks (the
+chunk length IS the reference's 16-step update cadence).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flnerf_tpu.core.metrics import compute_ssim, mse2psnr
+from flnerf_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated
+from flnerf_tpu.rays.sharpness import sharp_image
+from flnerf_tpu.render.ngp import (
+    NGPRenderConfig,
+    OccupancyState,
+    init_occupancy,
+    ngp_render_image,
+    ngp_render_rays,
+    update_occupancy,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+class NGPTrainConfig(NamedTuple):
+    max_steps: int = 30000
+    batch_rays: int = 4096
+    lr: float = 1e-2
+    steps_per_chunk: int = 16      # == occupancy update cadence
+    occ_update_every: int = 1      # in chunks
+    use_prob_map: bool = False     # variance-based image probs (quadtree.py:5)
+    all_pixel_at: float = 1.0      # fraction of training after which probs
+                                   # reset to uniform (change_to_allpixel)
+    bg_color: float = 1.0
+    seed: int = 0
+
+
+class NGPSampler:
+    """Per-image probability-map pixel sampler (provider.py:236-366)."""
+
+    def __init__(self, images, poses, K, cfg: NGPTrainConfig, seed: int = 0):
+        self.images = np.ascontiguousarray(images, np.float32)
+        self.n_images, self.H, self.W = images.shape[:3]
+        self.rng = np.random.default_rng(seed)
+        from flnerf_tpu.rays.camera import get_rays_np
+
+        origins, dirs = [], []
+        for p in poses:
+            o, d = get_rays_np(self.H, self.W, K, p[:3, :4])
+            origins.append(o.reshape(-1, 3))
+            d = d.reshape(-1, 3)
+            dirs.append(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        self.origins = np.stack(origins, 0)   # [n, HW, 3]
+        self.dirs = np.stack(dirs, 0)
+        self.pixels = self.images.reshape(self.n_images, -1, 3)
+
+        if cfg.use_prob_map:
+            # local-variance probability (quadtree.py:get_img_prob)
+            probs = []
+            for im in self.images:
+                s = sharp_image(im).reshape(-1).astype(np.float64) + 1e-6
+                probs.append(s / s.sum())
+            self.image_probs = np.stack(probs, 0)
+        else:
+            self.image_probs = None  # uniform (provider.py:236 default)
+        self._img_cursor = 0
+
+    def change_to_allpixel(self):
+        """provider.py:363-366 — drop the prob maps near the end."""
+        self.image_probs = None
+
+    def sample_chunk(self, n_steps: int, batch: int):
+        """[n_steps] training batches; each step draws ``batch`` rays from
+        one image (ngp's per-step single-image collate, provider.py:289)."""
+        origins = np.empty((n_steps, batch, 3), np.float32)
+        dirs = np.empty((n_steps, batch, 3), np.float32)
+        rgb = np.empty((n_steps, batch, 3), np.float32)
+        hw = self.H * self.W
+        for s in range(n_steps):
+            i = self._img_cursor % self.n_images
+            self._img_cursor += 1
+            if self.image_probs is None:
+                inds = self.rng.integers(0, hw, batch)
+            else:
+                inds = self.rng.choice(hw, size=batch, p=self.image_probs[i])
+            origins[s] = self.origins[i, inds]
+            dirs[s] = self.dirs[i, inds]
+            rgb[s] = self.pixels[i, inds]
+        return origins, dirs, rgb
+
+
+class NGPTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class NGPTrainer:
+    def __init__(
+        self,
+        init_fn: Callable,
+        density_fn: Callable,
+        rgb_fn: Callable,
+        render_cfg: NGPRenderConfig,
+        train_cfg: NGPTrainConfig,
+        mesh=None,
+    ):
+        self.density_fn = density_fn
+        self.rgb_fn = rgb_fn
+        self.rcfg = render_cfg
+        self.cfg = train_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+
+        params = init_fn(jax.random.PRNGKey(train_cfg.seed))
+        opt_state = self.tx.init(params)
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(
+            NGPTrainState(params, opt_state, jnp.int32(0)), rep
+        )
+        self.occ = jax.device_put(init_occupancy(render_cfg), rep)
+        self._chunk_fn = self._make_chunk_fn()
+        self._occ_fn = self._make_occ_fn()
+        self.history = []
+
+    # ------------------------------------------------------------------
+    def _make_occ_fn(self):
+        density_fn = self.density_fn
+        rcfg = self.rcfg
+
+        @jax.jit
+        def occ_fn(occ, params, key):
+            return update_occupancy(occ, params, density_fn, key, rcfg)
+
+        return occ_fn
+
+    def _make_chunk_fn(self):
+        density_fn, rgb_fn = self.density_fn, self.rgb_fn
+        rcfg, cfg, tx = self.rcfg, self.cfg, self.tx
+
+        def one_step(state: NGPTrainState, occ, xs):
+            origins, dirs, rgb, key = xs
+
+            def loss_fn(params):
+                out = ngp_render_rays(
+                    key, params, density_fn, rgb_fn, occ, origins, dirs, rcfg,
+                    perturb=True, bg_color=cfg.bg_color,
+                )
+                per_ray = jnp.mean((out["rgb"] - rgb) ** 2, -1)
+                return jnp.mean(per_ray), per_ray
+
+            (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            # LambdaLR 0.1 ** (iter / max_steps) (main_nerf.py scheduler)
+            lr = cfg.lr * 0.1 ** (
+                jnp.minimum(state.step.astype(jnp.float32) / cfg.max_steps, 1.0)
+            )
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(state.params, updates)
+            return NGPTrainState(new_params, new_opt, state.step + 1), loss
+
+        def chunk_fn(state, occ, origins, dirs, rgb, base_key):
+            keys = jax.random.split(base_key, origins.shape[0])
+
+            def body(st, xs):
+                st, loss = one_step(st, occ, xs)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, (origins, dirs, rgb, keys))
+            return state, losses
+
+        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = replicated(self.mesh)
+        return jax.jit(
+            chunk_fn,
+            in_shardings=(rep, rep, data_sh, data_sh, data_sh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self, sampler: NGPSampler, verbose: bool = True, eval_every: int = 0):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        n_chunks = cfg.max_steps // cfg.steps_per_chunk
+        allpixel_chunk = int(n_chunks * cfg.all_pixel_at)
+        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        t0 = time.time()
+
+        for ci in range(n_chunks):
+            if ci == allpixel_chunk and sampler.image_probs is not None:
+                sampler.change_to_allpixel()
+                if verbose:
+                    print("switched to all-pixel (uniform) sampling")
+            if ci % cfg.occ_update_every == 0:
+                key, sub = jax.random.split(key)
+                self.occ = self._occ_fn(self.occ, self.state.params, sub)
+
+            origins, dirs, rgb = sampler.sample_chunk(cfg.steps_per_chunk, cfg.batch_rays)
+            args = [jax.device_put(a, data_sh) for a in (origins, dirs, rgb)]
+            key, sub = jax.random.split(key)
+            self.state, losses = self._chunk_fn(self.state, self.occ, *args, sub)
+
+            if verbose and (ci % max(1, n_chunks // 20) == 0 or ci == n_chunks - 1):
+                loss = float(losses[-1])
+                print(
+                    f"step {int(self.state.step)}/{cfg.max_steps}: "
+                    f"loss {loss:.5f} psnr {float(mse2psnr(jnp.float32(loss))):.2f} "
+                    f"({time.time()-t0:.0f}s)"
+                )
+            self.history.append(
+                {"step": int((ci + 1) * cfg.steps_per_chunk),
+                 "wall_s": time.time() - t0,
+                 "loss": float(losses[-1])}
+            )
+        return self.state
+
+    def eval_images(self, poses, images, H, W, K, chunk: int = 8192):
+        psnrs, ssims = [], []
+        for i in range(poses.shape[0]):
+            rgb, _ = ngp_render_image(
+                self.state.params, self.density_fn, self.rgb_fn, self.occ,
+                self.rcfg, H, W, K, poses[i][:3, :4], chunk=chunk,
+            )
+            mse = float(np.mean((rgb - images[i]) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+            ssims.append(float(compute_ssim(jnp.asarray(images[i]), jnp.asarray(rgb))))
+        return float(np.mean(psnrs)), float(np.mean(ssims))

@@ -1,0 +1,178 @@
+"""NGP backend tests: SH encoding, trunc_exp, occupancy marching, and a
+small end-to-end training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
+from flnerf_tpu.ops.activations import trunc_exp
+from flnerf_tpu.ops.sh_encoding import sh_encode
+from flnerf_tpu.render.ngp import (
+    NGPRenderConfig,
+    OccupancyState,
+    init_occupancy,
+    near_far_from_aabb,
+    ngp_render_rays,
+    occupancy_lookup,
+    update_occupancy,
+)
+
+
+def test_sh_encode_basis():
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    y = np.asarray(sh_encode(d, 4))[0]
+    assert y.shape == (16,)
+    assert abs(y[0] - 0.28209479) < 1e-6
+    assert abs(y[2] - 0.48860251) < 1e-6        # z term
+    assert abs(y[1]) < 1e-7 and abs(y[3]) < 1e-7  # x,y terms vanish
+    assert abs(y[6] - (0.94617469575755997 - 0.31539156525251999)) < 1e-6
+
+    # orthonormality-ish sanity: mean over sphere of Y_i * Y_j ~ delta/4pi
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(20000, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    Y = np.asarray(sh_encode(jnp.asarray(v, jnp.float32), 3))
+    gram = (Y.T @ Y) / v.shape[0] * 4 * np.pi
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.1)
+
+
+def test_trunc_exp_forward_and_clamped_grad():
+    x = jnp.array([-20.0, 0.0, 2.0, 20.0])
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp(np.asarray(x)), rtol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(x)
+    # grads use exp(clamp(x, -15, 15))
+    np.testing.assert_allclose(
+        np.asarray(g), np.exp(np.clip(np.asarray(x), -15, 15)), rtol=1e-5
+    )
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_near_far_from_aabb():
+    o = jnp.array([[0.0, 0.0, 3.0], [0.0, 0.0, 3.0], [5.0, 5.0, 5.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    near, far, hit = near_far_from_aabb(o, d, bound=1.0, min_near=0.05)
+    assert bool(hit[0]) and not bool(hit[1]) and not bool(hit[2])
+    assert abs(float(near[0]) - 2.0) < 1e-5
+    assert abs(float(far[0]) - 4.0) < 1e-5
+
+
+def test_occupancy_lookup_and_update():
+    rcfg = NGPRenderConfig(grid_size=16, bound=1.0, density_thresh=0.01)
+    occ = init_occupancy(rcfg)
+    # empty grid: nothing occupied
+    pts = jnp.zeros((5, 3))
+    assert not bool(occupancy_lookup(occ, pts, rcfg).any())
+
+    # density field: a ball of density at the center
+    def density_fn(params, x):
+        d = jnp.linalg.norm(x, axis=-1)
+        return jnp.where(d < 0.4, 10.0, 0.0), jnp.zeros(x.shape[:-1] + (1,))
+
+    occ = update_occupancy(occ, None, density_fn, jax.random.PRNGKey(0), rcfg)
+    assert float(occ.mean_density) > 0
+    assert bool(occupancy_lookup(occ, jnp.zeros((1, 3)), rcfg)[0])
+    assert not bool(occupancy_lookup(occ, jnp.array([[0.9, 0.9, 0.9]]), rcfg)[0])
+
+    # EMA decay: after an update against a zero field, values shrink 0.95x
+    zero_fn = lambda p, x: (jnp.zeros(x.shape[:-1]), jnp.zeros(x.shape[:-1] + (1,)))
+    occ2 = update_occupancy(occ, None, zero_fn, jax.random.PRNGKey(1), rcfg)
+    np.testing.assert_allclose(
+        np.asarray(occ2.density), np.asarray(occ.density) * 0.95, rtol=1e-5
+    )
+
+
+def test_ngp_render_analytic_sphere():
+    """Render an analytic red ball through the occupancy-compacted marcher:
+    head-on rays must be red with acc ~1 and depth ~ distance to surface."""
+    rcfg = NGPRenderConfig(
+        n_candidates=128, n_keep=64, grid_size=32, bound=1.0, min_near=0.05,
+        bg_color=0.0,
+    )
+
+    def density_fn(params, x):
+        d = jnp.linalg.norm(x, axis=-1)
+        return jnp.where(d < 0.5, 50.0, 0.0), jnp.zeros(x.shape[:-1] + (1,))
+
+    def rgb_fn(params, d, geo):
+        return jnp.broadcast_to(jnp.array([1.0, 0.1, 0.1]), d.shape)
+
+    occ = update_occupancy(
+        init_occupancy(rcfg), None, density_fn, jax.random.PRNGKey(0), rcfg
+    )
+    n = 8
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    out = ngp_render_rays(
+        jax.random.PRNGKey(1), None, density_fn, rgb_fn, occ, rays_o, rays_d,
+        rcfg, perturb=False,
+    )
+    rgb = np.asarray(out["rgb"])
+    np.testing.assert_allclose(rgb[:, 0], 1.0, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out["acc"]), 1.0, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out["depth"]), 2.5, atol=0.15)
+
+    # miss rays composite to background
+    rays_d_miss = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (n, 1))
+    out_miss = ngp_render_rays(
+        jax.random.PRNGKey(1), None, density_fn, rgb_fn, occ, rays_o, rays_d_miss,
+        rcfg, perturb=False,
+    )
+    np.testing.assert_allclose(np.asarray(out_miss["rgb"]), 0.0, atol=1e-5)
+
+
+def test_ngp_field_shapes_and_grads():
+    cfg = NGPConfig(num_levels=4, log2_hashmap_size=10, desired_resolution=64)
+    init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=jnp.float32)
+    params = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (6, 5, 3), minval=-1, maxval=1)
+    sigma, geo = density_fn(params, x)
+    assert sigma.shape == (6, 5)
+    assert geo.shape == (6, 5, 15)
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (6, 1))[:, None, :].repeat(5, 1)
+    rgb = rgb_fn(params, d, geo)
+    assert rgb.shape == (6, 5, 3)
+    assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+    def loss(p):
+        s, g = density_fn(p, x)
+        return jnp.sum(s) + jnp.sum(rgb_fn(p, d, g) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert float(jnp.abs(grads["table"]).sum()) > 0
+    for w in grads["sigma_net"] + grads["color_net"]:
+        assert np.isfinite(np.asarray(w)).all()
+
+
+@pytest.mark.slow
+def test_ngp_e2e_training_improves():
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+    from flnerf_tpu.train.ngp_trainer import NGPSampler, NGPTrainConfig, NGPTrainer
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(n_train=6, n_test=1, H=40, W=40)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr, te = i_split[0], i_split[2]
+
+    cfg = NGPConfig(num_levels=8, log2_hashmap_size=15, desired_resolution=128,
+                    bound=2.0)
+    init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=jnp.float32)
+    rcfg = NGPRenderConfig(n_candidates=96, n_keep=48, grid_size=32, bound=2.0,
+                           bg_color=1.0)
+    tcfg = NGPTrainConfig(max_steps=192, batch_rays=256, steps_per_chunk=16,
+                          lr=1e-2, bg_color=1.0)
+    t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
+    sampler = NGPSampler(images[tr], poses[tr], K, tcfg)
+
+    p_before, _ = t.eval_images(poses[te], images[te], H, W, K, chunk=800)
+    t.fit(sampler, verbose=False)
+    p_after, ssim = t.eval_images(poses[te], images[te], H, W, K, chunk=800)
+    # NGP's hash table overfits 6 tiny views hard (train-view eval reaches
+    # ~21 dB); held-out improvement is modest but must be real.
+    assert p_after > p_before + 1.0, (p_before, p_after)
+    assert p_after > 13.0
+    # eval on a TRAIN view separates renderer bugs from generalization
+    p_train, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=800)
+    assert p_train > 16.0, p_train
