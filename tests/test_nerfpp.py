@@ -1,0 +1,142 @@
+"""NeRF++ backend tests: inverted-sphere geometry, MLPNet, cascade render,
+and a small end-to-end training run on a unit-sphere-normalized scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flnerf_tpu.models.nerfpp import (
+    NerfPPConfig,
+    apply_mlpnet,
+    depth2pts_outside,
+    init_mlpnet,
+    init_nerfpp,
+    intersect_sphere,
+    nerfpp_render,
+    perturb_samples,
+)
+
+
+def test_intersect_sphere_geometry():
+    # ray from origin along +x exits at depth 1
+    o = jnp.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]])
+    d = jnp.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    depth, inside = intersect_sphere(o, d)
+    assert bool(inside.all())
+    np.testing.assert_allclose(np.asarray(depth), [1.0, 0.5], atol=1e-6)
+    # non-unit direction: depth scales inversely with |d|
+    d2 = jnp.array([[2.0, 0.0, 0.0]])
+    depth2, _ = intersect_sphere(o[:1], d2)
+    np.testing.assert_allclose(float(depth2[0]), 0.5, atol=1e-6)
+    # camera outside the unit sphere is flagged
+    o3 = jnp.array([[2.0, 0.0, 0.0]])
+    d3 = jnp.array([[0.0, 1.0, 0.0]])
+    _, inside3 = intersect_sphere(o3, d3)
+    assert not bool(inside3[0])
+
+
+def test_depth2pts_outside_unit_norm_and_continuity():
+    o = jnp.array([[0.2, 0.1, 0.0]])
+    d = jnp.array([[0.5, 0.8, 0.1]])
+    depths = jnp.linspace(1e-3, 1.0, 16)[None, :]
+    o8 = jnp.broadcast_to(o[:, None, :], (1, 16, 3))
+    d8 = jnp.broadcast_to(d[:, None, :], (1, 16, 3))
+    pts = depth2pts_outside(o8, d8, depths)
+    assert pts.shape == (1, 16, 4)
+    # first 3 coords live on the unit sphere
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pts)[..., :3], axis=-1), 1.0, atol=1e-5
+    )
+    # 4th coord is the inverse radius itself
+    np.testing.assert_allclose(np.asarray(pts)[0, :, 3], np.asarray(depths)[0], atol=1e-6)
+    # at depth -> 1 (r -> 1) the point approaches the ray/sphere exit
+    exit_depth, _ = intersect_sphere(o, d)
+    p_exit = np.asarray(o + exit_depth[..., None] * d)[0]
+    np.testing.assert_allclose(np.asarray(pts)[0, -1, :3], p_exit, atol=1e-4)
+
+
+def test_mlpnet_shapes_and_sigma_positive():
+    key = jax.random.PRNGKey(0)
+    from flnerf_tpu.models.nerf_mlp import embed_fn, embedder_out_dim
+
+    ic = embedder_out_dim(4, 3)
+    icv = embedder_out_dim(2, 3)
+    params = init_mlpnet(key, ic, icv, D=8, W=64)
+    pts = embed_fn(jax.random.normal(key, (5, 7, 3)), 4)
+    views = embed_fn(jax.random.normal(key, (5, 7, 3)), 2)
+    rgb, sigma = apply_mlpnet(params, pts, views, ic, compute_dtype=jnp.float32)
+    assert rgb.shape == (5, 7, 3)
+    assert sigma.shape == (5, 7)
+    assert (np.asarray(sigma) >= 0).all()          # sigma = |linear|
+    assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+
+def test_nerfpp_render_composites_fg_and_bg():
+    cfg = NerfPPConfig(netdepth=2, netwidth=32, max_freq_log2=4, max_freq_log2_viewdirs=2)
+    params = init_nerfpp(jax.random.PRNGKey(0), cfg)
+    n, s = 6, 16
+    ray_o = jnp.tile(jnp.array([[0.1, 0.0, 0.0]]), (n, 1))
+    ray_d = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.2 + jnp.array([1.0, 0, 0])
+    fg_z_max, inside = intersect_sphere(ray_o, ray_d)
+    assert bool(inside.all())
+    fg_z = jnp.linspace(1e-4, 1.0, s)[None] * fg_z_max[:, None]
+    bg_z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, s), (n, s))
+    out = nerfpp_render(params, ray_o, ray_d, fg_z_max, fg_z, bg_z, cfg, jnp.float32)
+    assert out["rgb"].shape == (n, 3)
+    assert out["fg_weights"].shape == (n, s)
+    assert out["bg_weights"].shape == (n, s)
+    lam = np.asarray(out["bg_lambda"])
+    assert ((lam >= 0) & (lam <= 1 + 1e-5)).all()
+    # fg weights + bg share sum to <= 1 + eps (conservation)
+    total = np.asarray(out["fg_weights"]).sum(-1) + lam * np.asarray(out["bg_weights"]).sum(-1)
+    assert (total <= 1.0 + 1e-3).all()
+
+
+def test_perturb_samples_stays_in_bins():
+    z = jnp.tile(jnp.linspace(2.0, 6.0, 9), (4, 1))
+    zp = perturb_samples(jax.random.PRNGKey(0), z)
+    assert zp.shape == z.shape
+    assert (np.asarray(zp) >= 2.0 - 1e-5).all() and (np.asarray(zp) <= 6.0 + 1e-5).all()
+    assert (np.diff(np.asarray(zp), axis=-1) > -1e-5).all()
+
+
+@pytest.mark.slow
+def test_nerfpp_e2e_training_improves():
+    from flnerf_tpu.data.nerfpp_dataset import make_synthetic_nerfpp_scene
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+    from flnerf_tpu.train.nerfpp_trainer import NerfPPTrainConfig, NerfPPTrainer
+
+    train, test = make_synthetic_nerfpp_scene(n_train=6, n_test=1, H=32, W=32)
+    b = RayBudgeter(train["images"], train["origins"], train["dirs"], init_level=2, seed=0)
+
+    mcfg = NerfPPConfig(
+        netdepth=3, netwidth=48, max_freq_log2=5, max_freq_log2_viewdirs=2,
+        cascade_samples=(16, 16),
+    )
+    tcfg = NerfPPTrainConfig(
+        n_epoch=4, batch_size=256, steps_per_chunk=4, lrate=5e-4,
+        subdivide_every=2, subdivide_thres=0.02, prob_sampling=False,
+        compute_dtype="float32",
+    )
+    t = NerfPPTrainer(mcfg, tcfg)
+    H, W = test["H"], test["W"]
+    K3 = test["intrinsics"][0][:3, :3]
+
+    # NB: render_image uses our OpenGL get_rays; the synthetic scene is
+    # OpenCV — evaluate through the per-pixel rays instead
+    def eval_psnr(d):
+        psnrs = []
+        for i in range(d["images"].shape[0]):
+            ro = jnp.asarray(d["origins"][i].reshape(-1, 3))
+            rd = jnp.asarray(d["dirs"][i].reshape(-1, 3))
+            rgb = np.asarray(t._eval_rays(ro, rd)).reshape(H, W, 3)
+            mse = float(np.mean((rgb - d["images"][i]) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+        return float(np.mean(psnrs))
+
+    p0 = eval_psnr(test)
+    t.fit(b, verbose=False)
+    p1 = eval_psnr(test)
+    assert p1 > p0 + 1.0, (p0, p1)
+    assert len(t.history) == tcfg.n_epoch
