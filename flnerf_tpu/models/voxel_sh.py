@@ -1,0 +1,275 @@
+"""Plenoxels field backend: dense voxel grid (density + spherical harmonics).
+
+Parity targets (plenoxels-ours/svox2):
+  * SparseGrid — svox2.py:335-536: density + SH-coefficient voxel grid with
+    world<->grid transform (radius/center), basis_dim 9 (SH degree 3).
+  * Python renderer — svox2.py:659-780 (_volume_render_gradcheck_lerp):
+    grid-space marching at ``step_size`` voxel units; trilinear sigma/SH;
+    rgb = clamp_min(sum(sh_mult * coeffs) + 0.5, 0);
+    log-transmittance accumulation with delta_scale = 1/|grid-space dir|;
+    background_brightness fills the remaining light.
+  * npz checkpoint layout — svox2.py:1531-1633 (save/load): radius, center,
+    links int32 grid, density_data [cap,1], sh_data [cap, 27] fp16.
+
+TPU re-design:
+  * The ``links`` indirection exists to keep a 512^3 sparse grid in GPU
+    memory.  Here the grid is DENSE [X,Y,Z](+27) with a bool ``alive`` mask
+    (pruning = clearing mask bits, no reindexing, no recompilation); npz
+    save/load converts dense<->links for format parity.  512^3 is reached by
+    shard_map-sharding the grid's X axis over the device mesh.
+  * Marching is a fixed-length masked scan: S static steps of
+    ``step_size`` voxels, samples beyond tmax masked — XLA-compilable,
+    no per-ray while-loops (CUDA's early-exit becomes mask math).
+  * Trilinear sampling currently uses XLA gathers (correctness path);
+    a Pallas tiled-gather kernel is the planned fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flnerf_tpu.ops.sh_encoding import sh_encode
+
+
+class VoxelGridConfig(NamedTuple):
+    reso: Tuple[int, int, int] = (128, 128, 128)
+    basis_dim: int = 9              # SH degree 3
+    radius: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    init_sigma: float = 0.1         # opt.py init_sigma
+    step_size: float = 0.5          # RenderOptions.step_size (voxel units)
+    sigma_thresh: float = 1e-8
+    stop_thresh: float = 1e-7
+    background_brightness: float = 1.0
+    near_clip: float = 0.0
+    max_steps: int = 512            # static marching budget
+
+
+class VoxelGrid(NamedTuple):
+    """Trainable state (a pytree): dense density + SH data (+ alive mask)."""
+
+    density: jnp.ndarray   # [X, Y, Z] f32 (raw sigma)
+    sh: jnp.ndarray        # [X, Y, Z, 3*basis_dim] f32
+    alive: jnp.ndarray     # [X, Y, Z] bool — pruning mask (not trained)
+
+
+def init_voxel_grid(cfg: VoxelGridConfig) -> VoxelGrid:
+    x, y, z = cfg.reso
+    return VoxelGrid(
+        density=jnp.full((x, y, z), cfg.init_sigma, jnp.float32),
+        sh=jnp.zeros((x, y, z, 3 * cfg.basis_dim), jnp.float32),
+        alive=jnp.ones((x, y, z), bool),
+    )
+
+
+def world2grid(cfg: VoxelGridConfig, pts):
+    """World -> grid coords (svox2.py:1501-1529 semantics: the grid spans
+    center +- radius; voxel centers at integer coords 0..reso-1)."""
+    reso = jnp.asarray(cfg.reso, jnp.float32)
+    center = jnp.asarray(cfg.center)
+    radius = jnp.asarray(cfg.radius)
+    # normalized [-1,1] -> [0, reso] - 0.5
+    scaling = 0.5 * reso / radius
+    offset = 0.5 * reso - center * scaling
+    return pts * scaling + offset - 0.5
+
+
+def grid_scaling(cfg: VoxelGridConfig):
+    reso = jnp.asarray(cfg.reso, jnp.float32)
+    radius = jnp.asarray(cfg.radius)
+    return 0.5 * reso / radius
+
+
+def trilinear_sample(grid: VoxelGrid, pos, cfg: VoxelGridConfig):
+    """Trilinear density + SH at grid-space positions [..., 3].
+
+    Pruned (alive=False) cells contribute zero density and zero SH, the
+    dense analog of links == -1 (svox2.py _fetch_links).
+    """
+    x, y, z = cfg.reso
+    pos = jnp.clip(
+        pos,
+        jnp.zeros(3),
+        jnp.asarray([x - 1.0, y - 1.0, z - 1.0]),
+    )
+    l = jnp.floor(pos).astype(jnp.int32)
+    l = jnp.clip(l, 0, jnp.asarray([x - 2, y - 2, z - 2]))
+    frac = pos - l
+
+    density = jnp.where(grid.alive, grid.density, 0.0)
+    sh = jnp.where(grid.alive[..., None], grid.sh, 0.0)
+
+    def corner(dx, dy, dz):
+        ix, iy, iz = l[..., 0] + dx, l[..., 1] + dy, l[..., 2] + dz
+        w = (
+            (frac[..., 0] if dx else 1 - frac[..., 0])
+            * (frac[..., 1] if dy else 1 - frac[..., 1])
+            * (frac[..., 2] if dz else 1 - frac[..., 2])
+        )
+        return w, density[ix, iy, iz], sh[ix, iy, iz]
+
+    sig = 0.0
+    shv = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w, s, c = corner(dx, dy, dz)
+                sig = sig + w * s
+                shv = shv + w[..., None] * c
+    return sig, shv
+
+
+def voxel_render_rays(
+    grid: VoxelGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: VoxelGridConfig,
+):
+    """Volume-render [N] rays against the grid (svox2.py:659-780 math,
+    vectorized over a static max_steps sample budget)."""
+    n = rays_o.shape[0]
+    origins = world2grid(cfg, rays_o)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    sh_mult = sh_encode(viewdirs, degree=int(np.sqrt(cfg.basis_dim)))  # [N, B]
+
+    dirs = viewdirs * grid_scaling(cfg)
+    delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
+    dirs = dirs * delta_scale[..., None]   # unit-length in grid space
+
+    gsz = jnp.asarray(cfg.reso, jnp.float32)
+    parallel = jnp.abs(dirs) < 1e-9
+    safe_dirs = jnp.where(parallel, 1e-9, dirs)
+    invdirs = 1.0 / safe_dirs
+    t1 = (-0.5 - origins) * invdirs
+    t2 = (gsz - 0.5 - origins) * invdirs
+    tmin = jnp.where(parallel, -1e9, jnp.minimum(t1, t2)).max(-1)
+    tmin = jnp.maximum(tmin, cfg.near_clip)
+    tmax = jnp.where(parallel, 1e9, jnp.maximum(t1, t2)).min(-1)
+    # axis-parallel rays starting outside that axis' slab never enter
+    # (the reference python renderer skips this check; rays clamped into
+    # the box would otherwise sample the boundary voxels)
+    inside_slab = (origins >= -0.5) & (origins <= gsz - 0.5)
+    miss = jnp.any(parallel & ~inside_slab, axis=-1)
+    tmax = jnp.where(miss, tmin - 1.0, tmax)
+
+    s = cfg.max_steps
+    ts = tmin[:, None] + cfg.step_size * jnp.arange(s)[None, :]     # [N, S]
+    valid = ts <= tmax[:, None]
+
+    pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]    # [N, S, 3]
+    sigma, shv = trilinear_sample(grid, pos, cfg)                    # [N,S],[N,S,27]
+    sigma = jnp.where(valid, jax.nn.relu(sigma), 0.0)
+    sigma = jnp.where(sigma >= cfg.sigma_thresh, sigma, 0.0)
+
+    log_att = -cfg.step_size * sigma * delta_scale[:, None]          # [N, S]
+    # transmittance entering each sample
+    log_T = jnp.concatenate(
+        [jnp.zeros((n, 1)), jnp.cumsum(log_att[:, :-1], -1)], -1
+    )
+    weights = jnp.exp(log_T) * (1.0 - jnp.exp(log_att))              # [N, S]
+
+    rgb_sh = shv.reshape(n, s, 3, cfg.basis_dim)
+    rgb = jnp.clip(
+        jnp.sum(sh_mult[:, None, None, :] * rgb_sh, -1) + 0.5, 0.0, None
+    )                                                                 # [N, S, 3]
+
+    out_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
+    T_final = jnp.exp(jnp.sum(log_att, -1))
+    out_rgb = out_rgb + T_final[..., None] * cfg.background_brightness
+    depth = jnp.sum(weights * ts, -1)
+    return {"rgb": out_rgb, "depth": depth, "acc": 1.0 - T_final, "weights": weights}
+
+
+# ---------------------------------------------------------------------------
+# TV regularizers (loss_kernel.cu analog: dense diffs, fully vectorized)
+# ---------------------------------------------------------------------------
+
+def tv_loss(field: jnp.ndarray, alive: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Total variation of a [X,Y,Z] or [X,Y,Z,C] field, normalized per cell
+    (svox2 tv semantics: mean of squared forward differences)."""
+    if field.ndim == 3:
+        field = field[..., None]
+    if alive is not None:
+        field = jnp.where(alive[..., None], field, 0.0)
+    dx = field[1:, :, :] - field[:-1, :, :]
+    dy = field[:, 1:, :] - field[:, :-1, :]
+    dz = field[:, :, 1:] - field[:, :, :-1]
+    n = field.shape[0] * field.shape[1] * field.shape[2]
+    return (jnp.sum(dx ** 2) + jnp.sum(dy ** 2) + jnp.sum(dz ** 2)) / n
+
+
+# ---------------------------------------------------------------------------
+# resample / prune (svox2.py:1224+)
+# ---------------------------------------------------------------------------
+
+def upsample_grid(grid: VoxelGrid, new_reso: Tuple[int, int, int]) -> VoxelGrid:
+    """Trilinear upsample (grid.resample's resize step)."""
+    density = jax.image.resize(grid.density, new_reso, "trilinear")
+    sh = jax.image.resize(grid.sh, new_reso + (grid.sh.shape[-1],), "trilinear")
+    alive = (
+        jax.image.resize(grid.alive.astype(jnp.float32), new_reso, "trilinear") > 0.0
+    )
+    return VoxelGrid(density, sh, alive)
+
+
+def prune_grid(grid: VoxelGrid, sigma_thresh: float = 5.0, dilate: int = 2) -> VoxelGrid:
+    """Weight/threshold pruning with morphological dilation
+    (svox2.py:1224-1430 resample's sigma-threshold + misc_kernel.cu dilate)."""
+    keep = grid.density > sigma_thresh
+    for _ in range(dilate):
+        k = keep
+        k = k | jnp.roll(keep, 1, 0) | jnp.roll(keep, -1, 0)
+        k = k | jnp.roll(keep, 1, 1) | jnp.roll(keep, -1, 1)
+        k = k | jnp.roll(keep, 1, 2) | jnp.roll(keep, -1, 2)
+        keep = k
+    return grid._replace(alive=grid.alive & keep)
+
+
+# ---------------------------------------------------------------------------
+# npz checkpoint parity (svox2.py:1531-1633)
+# ---------------------------------------------------------------------------
+
+def save_npz(path: str, grid: VoxelGrid, cfg: VoxelGridConfig) -> None:
+    """Write the reference's ckpt.npz field layout (links + packed data)."""
+    alive = np.asarray(grid.alive)
+    n_alive = int(alive.sum())
+    links = np.full(alive.shape, -1, np.int32)
+    links[alive] = np.arange(n_alive, dtype=np.int32)
+    density_data = np.asarray(grid.density)[alive][:, None].astype(np.float32)
+    sh_data = np.asarray(grid.sh)[alive].astype(np.float16)
+    np.savez(
+        path,
+        radius=np.asarray(cfg.radius, np.float32),
+        center=np.asarray(cfg.center, np.float32),
+        links=links,
+        density_data=density_data,
+        sh_data=sh_data,
+        basis_type=1,  # BASIS_TYPE_SH
+    )
+
+
+def load_npz(path: str) -> Tuple[VoxelGrid, VoxelGridConfig]:
+    """Load a reference-format npz (ours or svox2's own)."""
+    z = np.load(path)
+    links = z["links"]
+    alive = links >= 0
+    density = np.zeros(links.shape, np.float32)
+    sh = np.zeros(links.shape + (z["sh_data"].shape[-1],), np.float32)
+    density[alive] = z["density_data"][:, 0][links[alive]]
+    sh[alive] = z["sh_data"].astype(np.float32)[links[alive]]
+    cfg = VoxelGridConfig(
+        reso=tuple(int(v) for v in links.shape),
+        basis_dim=sh.shape[-1] // 3,
+        radius=tuple(float(v) for v in np.atleast_1d(z["radius"])[:3])
+        if np.atleast_1d(z["radius"]).size >= 3
+        else (float(z["radius"]),) * 3,
+        center=tuple(float(v) for v in np.atleast_1d(z["center"])[:3]),
+    )
+    return (
+        VoxelGrid(jnp.asarray(density), jnp.asarray(sh), jnp.asarray(alive)),
+        cfg,
+    )

@@ -1,0 +1,329 @@
+"""Plenoxels training driver (plenoxels-ours/opt/opt.py re-designed for TPU).
+
+Reference flow (opt.py:228-609): per epoch, replace the dataset's rays from
+the quadtree manager; per batch, fused render + MSE + TV-regularized grads +
+manual RMSProp steps on (density, sh) with separate exponential(+delayed) LR
+schedules (util.py:78 get_expon_lr_func); subdivision by mean leaf loss;
+ckpt{epoch}.npz saves; scheduled upsample/prune.
+
+TPU structure: one jitted scan over steps_per_chunk batches; the CUDA fused
+volume_render_cuvol_fused (render_lerp_kernel_cuvol.cu) becomes
+jax.value_and_grad over the dense-grid renderer — forward, MSE gradient,
+and scatter into grid grads all inside one compiled step.  RMSProp runs as
+elementwise tree math (optim_kernel.cu:28 analog).  TV gradients come from
+autodiff of the dense TV value (loss_kernel.cu:112 analog; the stochastic
+sparse variant is unnecessary when the whole grid lives on-device).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flnerf_tpu.core.metrics import compute_ssim, mse2psnr
+from flnerf_tpu.models.voxel_sh import (
+    VoxelGrid,
+    VoxelGridConfig,
+    init_voxel_grid,
+    prune_grid,
+    tv_loss,
+    upsample_grid,
+    voxel_render_rays,
+)
+from flnerf_tpu.parallel.mesh import DATA_AXIS, make_mesh, pad_to_multiple, replicated
+from flnerf_tpu.rays.quadtree import RayBudgeter, RayEpoch
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def expon_lr(step, lr_init, lr_final, lr_delay_steps, lr_delay_mult, max_steps):
+    """Delayed log-lerp LR (opt/util/util.py:78 get_expon_lr_func)."""
+    t = jnp.clip(step / max_steps, 0.0, 1.0)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    if lr_delay_steps > 0:
+        delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
+        )
+    else:
+        delay_rate = 1.0
+    return delay_rate * log_lerp
+
+
+class PlenoxelsTrainConfig(NamedTuple):
+    n_epoch: int = 8
+    batch_size: int = 5000
+    lr_sigma: float = 3e1            # opt.py defaults (syn.json)
+    lr_sigma_final: float = 5e-2
+    lr_sigma_delay_steps: int = 15000
+    lr_sigma_delay_mult: float = 1e-2
+    lr_sh: float = 1e-2
+    lr_sh_final: float = 5e-6
+    lr_decay_steps: int = 250000
+    rms_beta: float = 0.95
+    lambda_tv: float = 1e-5
+    lambda_tv_sh: float = 1e-3
+    subdivide_every: int = 1
+    subdivide_thres: float = 0.015
+    prob_sampling: bool = False
+    rand_samp_perc: float = 1.0
+    steps_per_chunk: int = 8
+    upsample_epochs: Tuple[int, ...] = ()
+    prune_sigma_thresh: float = 5.0
+    seed: int = 0
+
+
+class PlenoxelsState(NamedTuple):
+    grid: VoxelGrid
+    rms_density: jnp.ndarray
+    rms_sh: jnp.ndarray
+    step: jnp.ndarray
+
+
+def _leaf_buf_size(n: int) -> int:
+    size = 1024
+    while size < n + 1:
+        size *= 2
+    return size
+
+
+class PlenoxelsTrainer:
+    def __init__(self, grid_cfg: VoxelGridConfig, train_cfg: PlenoxelsTrainConfig, mesh=None):
+        self.gcfg = grid_cfg
+        self.cfg = train_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        grid = init_voxel_grid(grid_cfg)
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(
+            PlenoxelsState(
+                grid,
+                jnp.zeros_like(grid.density),
+                jnp.zeros_like(grid.sh),
+                jnp.int32(0),
+            ),
+            rep,
+        )
+        self._chunk_fns = {}
+        self.history = []
+
+    # ------------------------------------------------------------------
+    def _make_chunk_fn(self, leaf_buf: int, gcfg: VoxelGridConfig):
+        cfg = self.cfg
+
+        def one_step(state: PlenoxelsState, err_buf, xs):
+            origins, dirs, rgb, leaf, mask = xs
+
+            def loss_fn(train_vars):
+                density, sh = train_vars
+                grid = state.grid._replace(density=density, sh=sh)
+                out = voxel_render_rays(grid, origins, dirs, gcfg)
+                m = mask[:, None]
+                denom = jnp.maximum(jnp.sum(mask), 1.0) * 3.0
+                mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
+                reg = cfg.lambda_tv * tv_loss(density, state.grid.alive)
+                reg = reg + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive)
+                per_ray_err = jnp.max(jnp.abs(out["rgb"] - rgb), -1)
+                return mse + reg, (mse, per_ray_err)
+
+            (loss, (mse, per_ray_err)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )((state.grid.density, state.grid.sh))
+            g_density, g_sh = grads
+
+            step_f = state.step.astype(jnp.float32)
+            lr_sigma = expon_lr(
+                step_f, cfg.lr_sigma, cfg.lr_sigma_final,
+                cfg.lr_sigma_delay_steps, cfg.lr_sigma_delay_mult,
+                cfg.lr_decay_steps,
+            )
+            lr_sh = expon_lr(
+                step_f, cfg.lr_sh, cfg.lr_sh_final, 0, 1.0, cfg.lr_decay_steps
+            )
+
+            # fused RMSProp (optim_kernel.cu:28 rmsprop_step)
+            b = cfg.rms_beta
+            rms_d = b * state.rms_density + (1 - b) * g_density ** 2
+            rms_s = b * state.rms_sh + (1 - b) * g_sh ** 2
+            new_density = state.grid.density - lr_sigma * g_density / (
+                jnp.sqrt(rms_d) + 1e-8
+            )
+            new_sh = state.grid.sh - lr_sh * g_sh / (jnp.sqrt(rms_s) + 1e-8)
+
+            safe_leaf = jnp.where(mask > 0, leaf, leaf_buf - 1)
+            err_buf = (
+                err_buf[0].at[safe_leaf].add(jnp.where(mask > 0, per_ray_err, 0.0)),
+                err_buf[1].at[safe_leaf].add(mask),
+            )
+            new_state = PlenoxelsState(
+                state.grid._replace(density=new_density, sh=new_sh),
+                rms_d, rms_s, state.step + 1,
+            )
+            return new_state, err_buf, mse
+
+        def chunk_fn(state, err_buf, origins, dirs, rgb, leaf, mask):
+            def body(carry, xs):
+                st, buf = carry
+                st, buf, mse = one_step(st, buf, xs)
+                return (st, buf), mse
+
+            (state, err_buf), mses = jax.lax.scan(
+                body, (state, err_buf), (origins, dirs, rgb, leaf, mask)
+            )
+            return state, err_buf, mses
+
+        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = replicated(self.mesh)
+        return jax.jit(
+            chunk_fn,
+            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh, data_sh),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def _chunk_fn(self, leaf_buf):
+        key = (leaf_buf, self.gcfg)
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = self._make_chunk_fn(leaf_buf, self.gcfg)
+        return self._chunk_fns[key]
+
+    # ------------------------------------------------------------------
+    def run_epoch_rays(self, epoch: RayEpoch):
+        cfg = self.cfg
+        B, K = cfg.batch_size, cfg.steps_per_chunk
+        n = epoch.origins.shape[0]
+        n_pad = pad_to_multiple(max(n, 1), B * K)
+
+        def pad(a, fill=0.0):
+            out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        origins = pad(epoch.origins)
+        dirs = pad(epoch.dirs)
+        dirs[n:] = np.array([0, 0, -1.0], np.float32)
+        rgb = pad(epoch.rgb)
+        leaf = pad(epoch.leaf_id.astype(np.int32))
+        mask = np.zeros(n_pad, np.float32)
+        mask[:n] = 1.0
+
+        leaf_buf = _leaf_buf_size(epoch.n_leaves)
+        chunk_fn = self._chunk_fn(leaf_buf)
+        rep = replicated(self.mesh)
+        err_buf = jax.device_put((jnp.zeros((leaf_buf,)), jnp.zeros((leaf_buf,))), rep)
+        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        mses = []
+        for ci in range(n_pad // (B * K)):
+            sl = slice(ci * B * K, (ci + 1) * B * K)
+            args = [
+                jax.device_put(a[sl].reshape((K, B) + a.shape[1:]), data_sh)
+                for a in (origins, dirs, rgb, leaf, mask)
+            ]
+            self.state, err_buf, m = chunk_fn(self.state, err_buf, *args)
+            mses.append(np.asarray(m))
+
+        err_sum, err_cnt = err_buf
+        stat = np.asarray(err_sum)[: epoch.n_leaves] / np.maximum(
+            np.asarray(err_cnt)[: epoch.n_leaves], 1.0
+        )
+        stat[np.asarray(err_cnt)[: epoch.n_leaves] == 0] = -np.inf
+        return stat, float(np.concatenate(mses)[-1])
+
+    def fit(self, budgeter: RayBudgeter, on_epoch_end=None, verbose=True):
+        cfg = self.cfg
+        t0 = time.time()
+        for epoch_id in range(1, cfg.n_epoch + 1):
+            te = time.time()
+            last = epoch_id == cfg.n_epoch
+            epoch = budgeter.gen_rays(
+                down_scale=1,
+                prob=cfg.prob_sampling and not last,
+                rand_samp_perc=cfg.rand_samp_perc,
+                last_epoch=last,
+            )
+            leaf_stat, mse = self.run_epoch_rays(epoch)
+
+            if (
+                cfg.subdivide_every > 0
+                and epoch_id % cfg.subdivide_every == 0
+                and epoch_id < cfg.n_epoch - 1
+            ):
+                n_split = budgeter.adjust(leaf_stat, cfg.subdivide_thres)
+                if verbose:
+                    print(f"  subdivided {n_split} -> {budgeter.forest.n_leaves} leaves")
+
+            if epoch_id in cfg.upsample_epochs:
+                new_reso = tuple(r * 2 for r in self.gcfg.reso)
+                self.resample(new_reso)
+                if verbose:
+                    print(f"  upsampled grid -> {new_reso}")
+
+            psnr = float(mse2psnr(jnp.float32(mse)))
+            self.history.append(
+                {"epoch": epoch_id, "wall_s": time.time() - t0, "train_psnr": psnr}
+            )
+            if verbose:
+                print(
+                    f"epoch {epoch_id}/{cfg.n_epoch}: rays {epoch.origins.shape[0]} "
+                    f"train-psnr {psnr:.2f} ({time.time()-te:.1f}s)"
+                )
+            if on_epoch_end is not None:
+                on_epoch_end(self, epoch_id)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def resample(self, new_reso: Tuple[int, int, int], prune: bool = True):
+        """Upsample + prune between jitted epochs (a deliberate recompile
+        boundary — SURVEY.md §7.4 hard part 4)."""
+        grid = upsample_grid(self.state.grid, new_reso)
+        if prune:
+            grid = prune_grid(grid, self.cfg.prune_sigma_thresh)
+        self.gcfg = self.gcfg._replace(reso=new_reso)
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(
+            PlenoxelsState(
+                grid,
+                jnp.zeros_like(grid.density),
+                jnp.zeros_like(grid.sh),
+                self.state.step,
+            ),
+            rep,
+        )
+        self._chunk_fns.clear()
+
+    def render_image(self, H, W, K, c2w, chunk: int = 4096):
+        from flnerf_tpu.rays.camera import get_rays
+
+        gcfg = self.gcfg
+        if not hasattr(self, "_eval_fn") or self._eval_cfg != gcfg:
+            @jax.jit
+            def eval_fn(grid, ro, rd):
+                return voxel_render_rays(grid, ro, rd, gcfg)["rgb"]
+
+            self._eval_fn = eval_fn
+            self._eval_cfg = gcfg
+
+        rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        n = ro.shape[0]
+        n_pad = pad_to_multiple(n, chunk)
+        if n_pad != n:
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (n_pad - n, 3))])
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (n_pad - n, 3))])
+        outs = [
+            self._eval_fn(self.state.grid, ro[i : i + chunk], rd[i : i + chunk])
+            for i in range(0, n_pad, chunk)
+        ]
+        return np.asarray(jnp.concatenate(outs, 0)[:n].reshape(H, W, 3))
+
+    def eval_images(self, poses, images, H, W, K, chunk: int = 4096):
+        psnrs, ssims = [], []
+        for i in range(poses.shape[0]):
+            rgb = self.render_image(H, W, K, poses[i][:3, :4], chunk)
+            mse = float(np.mean((rgb - images[i]) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+            ssims.append(float(compute_ssim(jnp.asarray(images[i]), jnp.asarray(rgb))))
+        return float(np.mean(psnrs)), float(np.mean(ssims))
