@@ -1,0 +1,165 @@
+"""Iso-surface mesh extraction (marching tetrahedra, vectorized numpy).
+
+Capability parity with nerf-ours/extract_mesh.py (PyMCubes marching cubes
+over the sigma field) and ngp-ours save_mesh (nerf/utils.py:582-602).
+PyMCubes isn't available offline, so this implements marching tetrahedra:
+each cube splits into 6 tetrahedra; a tet with k corners above the iso
+level yields 1 or 2 triangles with vertices linearly interpolated on the
+crossing edges.  Same surfaces as marching cubes (denser triangulation),
+16 cases instead of 256 — fully vectorized over all tets at once.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# cube corner offsets (x, y, z)
+_CUBE = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    np.int64,
+)
+
+# 6 tetrahedra per cube (corner indices), a standard decomposition
+_TETS = np.array(
+    [
+        [0, 5, 1, 6],
+        [0, 1, 2, 6],
+        [0, 2, 3, 6],
+        [0, 3, 7, 6],
+        [0, 7, 4, 6],
+        [0, 4, 5, 6],
+    ],
+    np.int64,
+)
+
+# tet edges as (corner a, corner b) index pairs within the tet
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int64)
+
+# Derive all 16 tet cases programmatically instead of hand tables: for each
+# inside-corner bitmask, collect the edges whose endpoints straddle the
+# surface; 3 crossings form a triangle, 4 form a quad split into two.
+def _build_cases():
+    cases = []
+    for mask in range(16):
+        inside = [(mask >> i) & 1 for i in range(4)]
+        cross = [
+            e_idx
+            for e_idx, (a, b) in enumerate(_TET_EDGES)
+            if inside[a] != inside[b]
+        ]
+        if len(cross) == 0:
+            cases.append([])
+        elif len(cross) == 3:
+            cases.append([tuple(cross)])
+        elif len(cross) == 4:
+            # order the quad so consecutive edges share a tet face, then fan
+            e0 = cross[0]
+            rest = cross[1:]
+            def shares_face(e1, e2):
+                s1 = set(_TET_EDGES[e1])
+                s2 = set(_TET_EDGES[e2])
+                return len(s1 & s2) == 0  # opposite edges don't share corners
+            # opposite edge of e0 is the one sharing no corner
+            opp = [e for e in rest if shares_face(e0, e)][0]
+            others = [e for e in rest if e != opp]
+            quad = [e0, others[0], opp, others[1]]
+            cases.append([(quad[0], quad[1], quad[2]), (quad[0], quad[2], quad[3])])
+        else:
+            raise AssertionError(mask)
+    return cases
+
+
+_CASES = _build_cases()
+
+
+def marching_tetrahedra(
+    field: np.ndarray, iso: float = 0.0, origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the iso-surface of a [X, Y, Z] scalar field.
+
+    Returns (vertices [V, 3] float32, triangles [T, 3] int64).  Convention:
+    "inside" = field > iso (density above threshold).
+    """
+    field = np.asarray(field, np.float32)
+    X, Y, Z = field.shape
+    gx, gy, gz = np.meshgrid(
+        np.arange(X - 1), np.arange(Y - 1), np.arange(Z - 1), indexing="ij"
+    )
+    base = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)       # [C, 3]
+
+    corner_pos = base[:, None, :] + _CUBE[None, :, :]                # [C, 8, 3]
+    corner_val = field[
+        corner_pos[..., 0], corner_pos[..., 1], corner_pos[..., 2]
+    ]                                                                # [C, 8]
+
+    verts_all = []
+    tris_all = []
+    v_count = 0
+    for tet in _TETS:
+        tv = corner_val[:, tet]                                      # [C, 4]
+        tp = corner_pos[:, tet].astype(np.float32)                   # [C, 4, 3]
+        inside = tv > iso
+        mask = (
+            inside[:, 0].astype(np.int64)
+            | (inside[:, 1] << 1)
+            | (inside[:, 2] << 2)
+            | (inside[:, 3] << 3)
+        )
+        for case_mask in range(1, 15):
+            tris = _CASES[case_mask]
+            if not tris:
+                continue
+            sel = np.nonzero(mask == case_mask)[0]
+            if sel.size == 0:
+                continue
+            # interpolated vertex on each crossing edge used by this case
+            edge_ids = sorted({e for tri in tris for e in tri})
+            edge_vert_idx = {}
+            for e in edge_ids:
+                a, b = _TET_EDGES[e]
+                va, vb = tv[sel, a], tv[sel, b]
+                t = (iso - va) / np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
+                t = np.clip(t, 0.0, 1.0)[:, None]
+                p = tp[sel, a] * (1 - t) + tp[sel, b] * t
+                verts_all.append(p)
+                edge_vert_idx[e] = v_count + np.arange(sel.size)
+                v_count += sel.size
+            for tri in tris:
+                tris_all.append(
+                    np.stack([edge_vert_idx[e] for e in tri], -1)
+                )
+
+    if not verts_all:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    verts = np.concatenate(verts_all, 0)
+    tris = np.concatenate(tris_all, 0)
+    verts = verts * np.asarray(spacing, np.float32) + np.asarray(origin, np.float32)
+    return verts.astype(np.float32), tris.astype(np.int64)
+
+
+def save_obj(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+
+def save_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(tris)}\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")

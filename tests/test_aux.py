@@ -1,0 +1,169 @@
+"""Auxiliary subsystems: benchmark recorder, marching tetrahedra, logging,
+tree visualization, eval CLI pieces."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_bench_recorder(tmp_path):
+    import time as _time
+
+    from flnerf_tpu.core.benchmark import BenchRecorder
+
+    r = BenchRecorder({"scene": "lego"})
+    r.record(wall_s=1.0, psnr=10.0, rays=100)
+    r.record(wall_s=3.0, psnr=20.0, rays=100)
+    r.record(wall_s=5.0, psnr=25.0, rays=100)
+    # interpolated crossing of 15 dB between (1s,10) and (3s,20)
+    assert abs(r.time_to_psnr(15.0) - 2.0) < 1e-6
+    assert abs(r.time_to_psnr(10.0) - 1.0) < 1e-6
+    assert r.time_to_psnr(30.0) is None
+    assert abs(r.rays_per_sec() - 300 / 5.0) < 1e-6
+    p = str(tmp_path / "bench.json")
+    r.save(p)
+    from flnerf_tpu.core.benchmark import BenchRecorder as BR
+
+    r2 = BR.load(p)
+    assert r2.meta["scene"] == "lego"
+    assert len(r2.samples) == 3
+
+
+def test_marching_tetrahedra_sphere():
+    from flnerf_tpu.ops.marching import marching_tetrahedra
+
+    n, R = 40, 12.0
+    g = np.arange(n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    c = (n - 1) / 2
+    field = R - np.sqrt((X - c) ** 2 + (Y - c) ** 2 + (Z - c) ** 2)
+    v, t = marching_tetrahedra(field, iso=0.0)
+    assert len(v) > 0 and len(t) > 0
+    r = np.linalg.norm(v - c, axis=-1)
+    assert abs(r.mean() - R) < 0.05
+    assert r.std() < 0.05
+    # surface area within 1% of 4 pi R^2
+    p0, p1, p2 = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1).sum()
+    assert abs(area - 4 * np.pi * R * R) / (4 * np.pi * R * R) < 0.01
+    # triangles index valid vertices
+    assert t.max() < len(v)
+
+    # empty field -> empty mesh
+    v0, t0 = marching_tetrahedra(np.zeros((8, 8, 8), np.float32) - 1.0)
+    assert len(v0) == 0 and len(t0) == 0
+
+
+def test_save_obj_ply(tmp_path):
+    from flnerf_tpu.ops.marching import save_obj, save_ply
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    t = np.array([[0, 1, 2]], np.int64)
+    obj = str(tmp_path / "m.obj")
+    ply = str(tmp_path / "m.ply")
+    save_obj(obj, v, t)
+    save_ply(ply, v, t)
+    assert "f 1 2 3" in open(obj).read()
+    text = open(ply).read()
+    assert "element vertex 3" in text and "3 0 1 2" in text
+
+
+def test_phase_timers_and_logger(tmp_path):
+    from flnerf_tpu.core.logging_utils import PhaseTimers, SummaryWriterWrapper, setup_logger
+
+    t = PhaseTimers()
+    with t.phase("work"):
+        _ = sum(range(1000))
+    with t.phase("work"):
+        pass
+    assert t.counts["work"] == 2
+    assert "work" in t.summary()
+
+    log = setup_logger("flnerf_test", str(tmp_path / "log.txt"))
+    log.info("hello")
+    assert "hello" in open(tmp_path / "log.txt").read()
+
+    w = SummaryWriterWrapper(str(tmp_path / "tb"))
+    w.add_scalar("x", 1.0, 0)
+    w.close()
+    # no-op writer never crashes
+    w2 = SummaryWriterWrapper(None)
+    w2.add_scalar("x", 1.0, 0)
+
+
+def test_tree_visualization(tmp_path):
+    from flnerf_tpu.rays.quadtree import QuadTreeForest
+    from flnerf_tpu.rays.sharpness import sharp_image
+    from flnerf_tpu.rays.visualize import (
+        draw_sample_points,
+        draw_tree_overlay,
+        prob_heatmap,
+        save_debug_images,
+    )
+
+    rng = np.random.default_rng(0)
+    images = rng.random((2, 32, 32, 3)).astype(np.float32)
+    forest = QuadTreeForest.uniform(2, 32, 32, 3)
+    img = draw_tree_overlay(images[0], forest, 0)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+    pts_img = draw_sample_points(images[0], np.array([5, 10]), np.array([7, 20]))
+    assert pts_img.shape == (32, 32, 3)
+
+    hm = prob_heatmap(sharp_image(images[0]))
+    assert hm.shape == (32, 32, 3)
+
+    save_debug_images(str(tmp_path / "dbg"), images, forest,
+                      np.stack([sharp_image(im) for im in images]))
+    assert os.path.exists(tmp_path / "dbg" / "tree_subdivide_0.jpg")
+    assert os.path.exists(tmp_path / "dbg" / "tree_prob_1.jpg")
+
+
+def test_autotune_launcher(tmp_path):
+    """Launcher mechanics with a stub entry module (no real training)."""
+    import sys
+    import textwrap
+
+    stub_dir = tmp_path / "stubpkg"
+    stub_dir.mkdir()
+    (stub_dir / "stub_train.py").write_text(
+        textwrap.dedent(
+            """
+            import argparse, os, sys
+            p = argparse.ArgumentParser()
+            p.add_argument("data")
+            p.add_argument("-t", "--train_dir")
+            p.add_argument("--lr", type=float, default=1.0)
+            a = p.parse_args()
+            os.makedirs(a.train_dir, exist_ok=True)
+            open(os.path.join(a.train_dir, "test_psnr.txt"), "w").write(str(10 * a.lr))
+            """
+        )
+    )
+    import subprocess
+
+    task = {
+        "entry": "stub_train",
+        "base_args": ["synthetic"],
+        "train_root": str(tmp_path / "runs"),
+        "grid": {"lr": [1.0, 2.0]},
+    }
+    task_file = tmp_path / "task.json"
+    task_file.write_text(json.dumps(task))
+
+    env = dict(os.environ, PYTHONPATH=str(stub_dir) + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    res = subprocess.run(
+        [sys.executable, "-m", "flnerf_tpu.cli.autotune", str(task_file)],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode == 0, res.stderr
+    board = open(tmp_path / "runs" / "leaderboard.txt").read()
+    assert "lr2.0" in board.splitlines()[0]  # best first
+    # rerun skips finished
+    res2 = subprocess.run(
+        [sys.executable, "-m", "flnerf_tpu.cli.autotune", str(task_file)],
+        capture_output=True, text=True, env=env,
+    )
+    assert "skip finished" in res2.stdout
