@@ -61,9 +61,28 @@ class SharpnessSampler:
         Returns (leaf_of_ray, px, py) flat arrays (total = counts.sum()).
         Mirrors tree.py:583-590: the block is images[int(x0):int(x1),
         int(y0):int(y1)] and sampled indices are offset by (int(x0), int(y0)).
+
+        Uses the native C++ sampler (flnerf_tpu/native) when available —
+        one pass over all leaves instead of a per-leaf Python loop; falls
+        back to numpy otherwise (same distribution, different RNG stream).
         """
         total = int(counts.sum())
         leaf_of_ray = np.repeat(np.arange(boxes.shape[0]), counts)
+
+        try:
+            from flnerf_tpu import native
+
+            res = native.sample_leaves_weighted(
+                self.sharp, boxes, img, counts, int(rng.integers(0, 2 ** 62))
+            )
+        except Exception:
+            res = None
+        if res is not None:
+            px, py = res
+            px = np.minimum(px, self.H - 1)
+            py = np.minimum(py, self.W - 1)
+            return leaf_of_ray, px, py
+
         px = np.empty(total, np.int64)
         py = np.empty(total, np.int64)
         off = 0
