@@ -128,6 +128,24 @@ def load_dataset(args):
         i_train, i_val, i_test = i_split
         near, far = 2.0, 6.0
         images = composite_white_bkgd(images, args.white_bkgd)
+    elif args.dataset_type == "LINEMOD":
+        from flnerf_tpu.data.blender import composite_white_bkgd
+        from flnerf_tpu.data.extra_loaders import load_linemod_data
+
+        images, poses, render_poses, hwf, K, i_split, near, far = load_linemod_data(
+            args.datadir, args.half_res, args.testskip
+        )
+        i_train, i_val, i_test = i_split
+        images = composite_white_bkgd(images, args.white_bkgd)
+    elif args.dataset_type == "deepvoxels":
+        from flnerf_tpu.data.extra_loaders import load_dv_data
+
+        images, poses, render_poses, hwf, i_split = load_dv_data(
+            scene=args.shape, basedir=args.datadir, testskip=args.testskip
+        )
+        i_train, i_val, i_test = i_split
+        hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1)))
+        near, far = hemi_r - 1.0, hemi_r + 1.0
     elif args.dataset_type == "synthetic":
         from flnerf_tpu.data.synthetic import load_synthetic_data
 

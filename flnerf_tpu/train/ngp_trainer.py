@@ -46,9 +46,11 @@ class NGPTrainConfig(NamedTuple):
     steps_per_chunk: int = 16      # == occupancy update cadence
     occ_update_every: int = 1      # in chunks
     use_prob_map: bool = False     # variance-based image probs (quadtree.py:5)
+    use_error_map: bool = False    # --error_map: 128x128 EMA maps (utils.py:505-527)
     all_pixel_at: float = 1.0      # fraction of training after which probs
                                    # reset to uniform (change_to_allpixel)
     bg_color: float = 1.0
+    ema_decay: float = 0.0         # 0 disables; torch-ngp uses 0.95
     seed: int = 0
 
 
@@ -80,36 +82,79 @@ class NGPSampler:
             self.image_probs = np.stack(probs, 0)
         else:
             self.image_probs = None  # uniform (provider.py:236 default)
+
+        # --error_map: per-image 128x128 EMA error maps (provider.py:242-246)
+        self.error_map_res = 128
+        if cfg.use_error_map:
+            self.error_map = np.ones(
+                (self.n_images, self.error_map_res ** 2), np.float64
+            )
+        else:
+            self.error_map = None
         self._img_cursor = 0
 
     def change_to_allpixel(self):
         """provider.py:363-366 — drop the prob maps near the end."""
         self.image_probs = None
+        self.error_map = None
+
+    def _sample_error_map(self, i: int, batch: int):
+        """2-level error-map draw (nerf/utils.py:113-124): multinomial over
+        the coarse map, jitter within the coarse cell."""
+        em = self.error_map[i]
+        p = em / em.sum()
+        inds_coarse = self.rng.choice(em.shape[0], size=batch, p=p)
+        r = self.error_map_res
+        ix, iy = inds_coarse // r, inds_coarse % r
+        sx, sy = self.H / r, self.W / r
+        px = np.minimum((ix * sx + self.rng.random(batch) * sx).astype(np.int64), self.H - 1)
+        py = np.minimum((iy * sy + self.rng.random(batch) * sy).astype(np.int64), self.W - 1)
+        return px * self.W + py, inds_coarse
+
+    def update_error_map(self, img_ids, inds_coarse, per_ray_err):
+        """EMA update at the sampled coarse cells (utils.py:521-527):
+        new = 0.1 * old + 0.9 * err."""
+        if self.error_map is None:
+            return
+        for s in range(img_ids.shape[0]):
+            i = img_ids[s]
+            em = self.error_map[i]
+            em[inds_coarse[s]] = 0.1 * em[inds_coarse[s]] + 0.9 * per_ray_err[s]
 
     def sample_chunk(self, n_steps: int, batch: int):
         """[n_steps] training batches; each step draws ``batch`` rays from
-        one image (ngp's per-step single-image collate, provider.py:289)."""
+        one image (ngp's per-step single-image collate, provider.py:289).
+        Returns (origins, dirs, rgb, img_ids [n_steps], inds_coarse|None)."""
         origins = np.empty((n_steps, batch, 3), np.float32)
         dirs = np.empty((n_steps, batch, 3), np.float32)
         rgb = np.empty((n_steps, batch, 3), np.float32)
+        img_ids = np.empty(n_steps, np.int64)
+        inds_coarse = (
+            np.empty((n_steps, batch), np.int64) if self.error_map is not None else None
+        )
         hw = self.H * self.W
         for s in range(n_steps):
             i = self._img_cursor % self.n_images
             self._img_cursor += 1
-            if self.image_probs is None:
+            img_ids[s] = i
+            if self.error_map is not None:
+                inds, ic = self._sample_error_map(i, batch)
+                inds_coarse[s] = ic
+            elif self.image_probs is None:
                 inds = self.rng.integers(0, hw, batch)
             else:
                 inds = self.rng.choice(hw, size=batch, p=self.image_probs[i])
             origins[s] = self.origins[i, inds]
             dirs[s] = self.dirs[i, inds]
             rgb[s] = self.pixels[i, inds]
-        return origins, dirs, rgb
+        return origins, dirs, rgb, img_ids, inds_coarse
 
 
 class NGPTrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None   # EMA shadow weights (utils.py:360-363), optional
 
 
 class NGPTrainer:
@@ -131,9 +176,14 @@ class NGPTrainer:
 
         params = init_fn(jax.random.PRNGKey(train_cfg.seed))
         opt_state = self.tx.init(params)
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if train_cfg.ema_decay > 0
+            else None
+        )
         rep = replicated(self.mesh)
         self.state = jax.device_put(
-            NGPTrainState(params, opt_state, jnp.int32(0)), rep
+            NGPTrainState(params, opt_state, jnp.int32(0), ema), rep
         )
         self.occ = jax.device_put(init_occupancy(render_cfg), rep)
         self._chunk_fn = self._make_chunk_fn()
@@ -176,24 +226,35 @@ class NGPTrainer:
             )
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
             new_params = optax.apply_updates(state.params, updates)
-            return NGPTrainState(new_params, new_opt, state.step + 1), loss
+            new_ema = state.ema_params
+            if state.ema_params is not None:
+                d = cfg.ema_decay
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1 - d) * p, state.ema_params, new_params
+                )
+            return (
+                NGPTrainState(new_params, new_opt, state.step + 1, new_ema),
+                (loss, per_ray),
+            )
 
         def chunk_fn(state, occ, origins, dirs, rgb, base_key):
             keys = jax.random.split(base_key, origins.shape[0])
 
             def body(st, xs):
-                st, loss = one_step(st, occ, xs)
-                return st, loss
+                st, out = one_step(st, occ, xs)
+                return st, out
 
-            state, losses = jax.lax.scan(body, state, (origins, dirs, rgb, keys))
-            return state, losses
+            state, (losses, per_ray) = jax.lax.scan(
+                body, state, (origins, dirs, rgb, keys)
+            )
+            return state, losses, per_ray
 
         data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         rep = replicated(self.mesh)
         return jax.jit(
             chunk_fn,
             in_shardings=(rep, rep, data_sh, data_sh, data_sh, rep),
-            out_shardings=(rep, rep),
+            out_shardings=(rep, rep, rep),
             donate_argnums=(0,),
         )
 
@@ -215,10 +276,14 @@ class NGPTrainer:
                 key, sub = jax.random.split(key)
                 self.occ = self._occ_fn(self.occ, self.state.params, sub)
 
-            origins, dirs, rgb = sampler.sample_chunk(cfg.steps_per_chunk, cfg.batch_rays)
+            origins, dirs, rgb, img_ids, inds_coarse = sampler.sample_chunk(
+                cfg.steps_per_chunk, cfg.batch_rays
+            )
             args = [jax.device_put(a, data_sh) for a in (origins, dirs, rgb)]
             key, sub = jax.random.split(key)
-            self.state, losses = self._chunk_fn(self.state, self.occ, *args, sub)
+            self.state, losses, per_ray = self._chunk_fn(self.state, self.occ, *args, sub)
+            if inds_coarse is not None:
+                sampler.update_error_map(img_ids, inds_coarse, np.asarray(per_ray))
 
             if verbose and (ci % max(1, n_chunks // 20) == 0 or ci == n_chunks - 1):
                 loss = float(losses[-1])
@@ -234,11 +299,79 @@ class NGPTrainer:
             )
         return self.state
 
-    def eval_images(self, poses, images, H, W, K, chunk: int = 8192):
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, workspace: str, name: str = None, max_keep: int = 2):
+        """Trainer.save_checkpoint analog (nerf/utils.py:1014-1074): params +
+        EMA + occupancy + step, with max_keep rotation."""
+        import glob
+        import os
+        import pickle
+
+        ckpt_dir = os.path.join(workspace, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        name = name or f"ngp_ep{int(self.state.step):07d}"
+        payload = {
+            "format": "flnerf_ngp_v1",
+            "step": int(self.state.step),
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "ema_params": (
+                jax.tree_util.tree_map(np.asarray, self.state.ema_params)
+                if self.state.ema_params is not None else None
+            ),
+            "occ_density": np.asarray(self.occ.density),
+            "occ_mean": float(self.occ.mean_density),
+        }
+        path = os.path.join(ckpt_dir, f"{name}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        # rotation (utils.py max_keep_ckpt)
+        ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "ngp_ep*.pkl")))
+        for old in ckpts[:-max_keep]:
+            os.remove(old)
+        return path
+
+    def load_checkpoint(self, path_or_workspace: str, which: str = "latest"):
+        """load_checkpoint analog (utils.py:1076+; latest/path policies)."""
+        import glob
+        import os
+        import pickle
+
+        path = path_or_workspace
+        if os.path.isdir(path_or_workspace):
+            ckpts = sorted(
+                glob.glob(os.path.join(path_or_workspace, "checkpoints", "ngp_ep*.pkl"))
+            )
+            if not ckpts:
+                raise FileNotFoundError(path_or_workspace)
+            path = ckpts[-1]
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        assert d.get("format") == "flnerf_ngp_v1"
+        rep = replicated(self.mesh)
+        params = jax.tree_util.tree_map(jnp.asarray, d["params"])
+        ema = (
+            jax.tree_util.tree_map(jnp.asarray, d["ema_params"])
+            if d.get("ema_params") is not None else None
+        )
+        self.state = jax.device_put(
+            NGPTrainState(params, self.state.opt_state, jnp.int32(d["step"]), ema), rep
+        )
+        self.occ = jax.device_put(
+            OccupancyState(jnp.asarray(d["occ_density"]), jnp.float32(d["occ_mean"])),
+            rep,
+        )
+        return path
+
+    def eval_images(self, poses, images, H, W, K, chunk: int = 8192, use_ema: bool = False):
+        params = (
+            self.state.ema_params
+            if use_ema and self.state.ema_params is not None
+            else self.state.params
+        )
         psnrs, ssims = [], []
         for i in range(poses.shape[0]):
             rgb, _ = ngp_render_image(
-                self.state.params, self.density_fn, self.rgb_fn, self.occ,
+                params, self.density_fn, self.rgb_fn, self.occ,
                 self.rcfg, H, W, K, poses[i][:3, :4], chunk=chunk,
             )
             mse = float(np.mean((rgb - images[i]) ** 2))

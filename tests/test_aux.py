@@ -167,3 +167,100 @@ def test_autotune_launcher(tmp_path):
         capture_output=True, text=True, env=env,
     )
     assert "skip finished" in res2.stdout
+
+
+def test_offline_ray_sampler(tmp_path):
+    from flnerf_tpu.rays.offline_sampler import OfflineRaySampler, gen_rays_from_cache
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+
+    rng = np.random.default_rng(0)
+    images = rng.random((2, 16, 16, 3)).astype(np.float32)
+    s = OfflineRaySampler(images, max_level=3, seed=0)
+    cache = s.pre_gen_rays(down_scale=4)
+    assert set(cache.keys()) == {0, 1}
+    assert set(cache[0].keys()) == {1, 2, 3}
+    # level 3: 4x4 blocks of (16/4)^2 * 1/4 = 4 rays each
+    assert cache[0][3].shape == (4, 4, 4, 2)
+    assert cache[0][3].max() < 16
+
+    p = str(tmp_path / "rays.pkl")
+    s.save(cache, p)
+    cache2 = OfflineRaySampler.load(p)
+    np.testing.assert_array_equal(cache2[0][3], cache[0][3])
+
+    # gen_rays_v4 analog consumes the cache
+    origins = rng.random((2, 16, 16, 3)).astype(np.float32)
+    dirs = origins + 0.1
+    b = RayBudgeter(images, origins, dirs, init_level=3, seed=0)
+    ep = gen_rays_from_cache(b, cache, cur_level=3)
+    assert ep.origins.shape[0] > 0
+    assert ep.leaf_id.max() < b.forest.n_leaves
+
+
+def test_extra_loaders_synthetic_layouts(tmp_path):
+    """Exercise deepvoxels/LINEMOD/NSVF loaders on generated fixture trees."""
+    import imageio.v2 as imageio
+    import json as _json
+
+    from flnerf_tpu.data.extra_loaders import (
+        load_dv_data,
+        load_linemod_data,
+        load_nsvf_data,
+    )
+
+    rng = np.random.default_rng(0)
+
+    # --- deepvoxels layout
+    dv = tmp_path / "dv"
+    for split in ("train", "validation", "test"):
+        base = dv / split / "cube"
+        (base / "pose").mkdir(parents=True)
+        (base / "rgb").mkdir(parents=True)
+        for i in range(3):
+            np.savetxt(base / "pose" / f"{i:04d}.txt", np.eye(4).reshape(1, -1))
+            imageio.imwrite(
+                base / "rgb" / f"{i:04d}.png",
+                (rng.random((8, 8, 3)) * 255).astype(np.uint8),
+            )
+        if split == "train":
+            (base / "intrinsics.txt").write_text(
+                "512. 256. 256. 0.\n0 0 0\n1.\n1.\n512. 512.\n0\n"
+            )
+    images, poses, rposes, hwf, i_split = load_dv_data("cube", str(dv), testskip=1)
+    assert images.shape[0] == 9 and hwf[0] == 512
+
+    # --- LINEMOD layout
+    lm = tmp_path / "lm"
+    lm.mkdir()
+    (lm / "imgs").mkdir()
+    for s in ("train", "val", "test"):
+        frames = []
+        for i in range(2):
+            name = f"imgs/{s}_{i}.png"
+            imageio.imwrite(lm / name, (rng.random((8, 8, 3)) * 255).astype(np.uint8))
+            frames.append({"file_path": name, "transform_matrix": np.eye(4).tolist()})
+        (lm / f"transforms_{s}.json").write_text(
+            _json.dumps({"camera_angle_x": 0.6911, "near": 0.2, "far": 2.2, "frames": frames})
+        )
+    images, poses, rposes, hwf, K, i_split, near, far = load_linemod_data(str(lm))
+    assert images.shape[0] == 6
+    assert abs(near - 0.2) < 1e-9 and abs(far - 2.2) < 1e-9
+    assert K.shape[0] >= 3
+
+    # --- NSVF layout
+    nv = tmp_path / "nsvf"
+    (nv / "rgb").mkdir(parents=True)
+    (nv / "pose").mkdir()
+    for prefix, n in (("0", 3), ("2", 2)):
+        for i in range(n):
+            imageio.imwrite(
+                nv / "rgb" / f"{prefix}_{i:03d}.png",
+                (rng.random((8, 8, 3)) * 255).astype(np.uint8),
+            )
+            np.savetxt(nv / "pose" / f"{prefix}_{i:03d}.txt", np.eye(4).reshape(1, -1))
+    (nv / "intrinsics.txt").write_text("10.0 4.0 4.0\n")
+    images, poses, K, hwf = load_nsvf_data(str(nv), "train")
+    assert images.shape[0] == 3
+    images_t, _, _, _ = load_nsvf_data(str(nv), "test")
+    assert images_t.shape[0] == 2
+    assert abs(K[0, 0] - 10.0) < 1e-6

@@ -176,3 +176,88 @@ def test_ngp_e2e_training_improves():
     # eval on a TRAIN view separates renderer bugs from generalization
     p_train, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=800)
     assert p_train > 16.0, p_train
+
+
+def test_ngp_sampler_error_map_and_prob():
+    import numpy as np
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+    from flnerf_tpu.train.ngp_trainer import NGPSampler, NGPTrainConfig
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(n_train=3, n_test=1, H=32, W=32)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr = i_split[0]
+
+    # error-map mode
+    cfg = NGPTrainConfig(use_error_map=True)
+    s = NGPSampler(images[tr], poses[tr], K, cfg)
+    assert s.error_map.shape == (3, 128 * 128)
+    o, d, rgb, img_ids, ic = s.sample_chunk(4, 64)
+    assert o.shape == (4, 64, 3) and ic.shape == (4, 64)
+    assert set(img_ids) <= {0, 1, 2}
+    # EMA update drives the map toward the per-ray error
+    before = s.error_map.copy()
+    err = np.full((4, 64), 0.5)
+    s.update_error_map(img_ids, ic, err)
+    changed = s.error_map != before
+    assert changed.any()
+    touched = s.error_map[changed]
+    np.testing.assert_allclose(touched, 0.1 * 1.0 + 0.9 * 0.5, atol=1e-9)
+
+    # biased error map concentrates sampling
+    s.error_map[:] = 1e-9
+    s.error_map[0, 0] = 1.0  # coarse cell (0,0) dominates image 0
+    o, d, rgb, img_ids, ic = s.sample_chunk(1, 256)
+    assert img_ids[0] in (0, 1, 2)
+    # all_pixel switch clears the maps
+    s.change_to_allpixel()
+    assert s.error_map is None
+
+    # prob-map mode initializes variance-based distributions
+    cfg2 = NGPTrainConfig(use_prob_map=True)
+    s2 = NGPSampler(images[tr], poses[tr], K, cfg2)
+    assert s2.image_probs.shape == (3, 32 * 32)
+    np.testing.assert_allclose(s2.image_probs.sum(1), 1.0, atol=1e-9)
+
+
+def test_ngp_checkpoint_roundtrip_and_ema(tmp_path):
+    import numpy as np
+    from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
+    from flnerf_tpu.render.ngp import NGPRenderConfig
+    from flnerf_tpu.train.ngp_trainer import NGPTrainConfig, NGPTrainer
+
+    cfg = NGPConfig(num_levels=2, log2_hashmap_size=8, desired_resolution=32)
+    init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=jnp.float32)
+    rcfg = NGPRenderConfig(n_candidates=16, n_keep=8, grid_size=8, bound=1.0)
+    tcfg = NGPTrainConfig(max_steps=8, batch_rays=32, steps_per_chunk=4, ema_decay=0.95)
+    t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
+    assert t.state.ema_params is not None
+
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+    from flnerf_tpu.train.ngp_trainer import NGPSampler
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(n_train=2, n_test=1, H=16, W=16)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    s = NGPSampler(images[i_split[0]], poses[i_split[0]], K, tcfg)
+    t.fit(s, verbose=False)
+    assert int(t.state.step) == 8
+
+    p1 = t.save_checkpoint(str(tmp_path), max_keep=2)
+    p2 = t.save_checkpoint(str(tmp_path), name="ngp_ep9999999", max_keep=1)
+    import os
+    remaining = os.listdir(tmp_path / "checkpoints")
+    assert len(remaining) == 1  # rotation kept only the last
+
+    t2 = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
+    t2.load_checkpoint(str(tmp_path))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(t.occ.density), np.asarray(t2.occ.density)
+    )
