@@ -145,37 +145,54 @@ def corner_indices_weights(x01: jnp.ndarray, spec: PackedHashSpec):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, out_ref):
-    """One (level, chunk): weighted corner features for CH corner-queries."""
-    ch = hi_ref.shape[1]
+def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, *out_refs):
+    """One (level, chunk): weighted corner features for the chunk.
+
+    Operands arrive lane-packed as [1, SUBROWS, 256] tiles (corner f sits at
+    row f // 256, lane f %% 256) so each grid step DMAs kilobytes, not the
+    megabytes a [CH, 1] column layout would cost.  Each sub-row becomes a
+    [256, T_r] one-hot whose matmul against the level table fetches the
+    needed rows; lane-select + weight produce the per-corner features.
+    """
+    subrows = hi_ref.shape[1]
+    width = hi_ref.shape[2]
     t_r = table_ref.shape[2]
     c_dim = table_ref.shape[1]
 
-    hi = hi_ref[0, :, 0]                                      # [CH]
-    lo = lo_ref[0, :, 0]
-    w = w_ref[0, :, 0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, t_r), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
+    # all C channels side by side in lanes: one [T_r, C*128] matmul per row
+    tab = jnp.concatenate(
+        [table_ref[0, c].astype(jnp.bfloat16) for c in range(c_dim)], axis=1
+    )
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, t_r), 1)
-    oh_hi = (hi[:, None] == row_ids).astype(jnp.bfloat16)     # [CH, T_r]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 1)
-    sel = lo[:, None] == lane_ids                             # [CH, 128]
-
-    feats = []
-    for c in range(c_dim):
+    for s in range(subrows):
+        hi = hi_ref[0, s]                                     # [256] lanes
+        lo = lo_ref[0, s]
+        w = w_ref[0, s]
+        oh_hi = (hi[:, None] == row_iota).astype(jnp.bfloat16)   # [256, T_r]
+        sel = lo[:, None] == lane_iota                           # [256, 128]
         rows = jax.lax.dot_general(
-            oh_hi, table_ref[0, c].astype(jnp.bfloat16),
+            oh_hi, tab,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [CH, 128]
-        feats.append(jnp.sum(jnp.where(sel, rows, 0.0), axis=1))
-    out_ref[0] = jnp.stack(feats, axis=-1) * w[:, None]
+        )                                                        # [256, C*128]
+        for c in range(c_dim):
+            rc = rows[:, c * LANES : (c + 1) * LANES]
+            feat = jnp.sum(jnp.where(sel, rc, 0.0), axis=1)      # [256] col
+            out_refs[c][0, s] = feat * w
 
 
-def _bwd_kernel(hi_ref, lo_ref, v_ref, grad_ref, acc_ref):
-    """One (level, chunk): accumulate grad_table += OH_hi^T @ (OH_lo * v)."""
-    ch = hi_ref.shape[1]
+def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
+    """One (level, chunk): accumulate grad_table += OH_hi^T @ (OH_lo * v);
+    lane-packed [1, SUBROWS, 256] operands like the forward."""
+    c_dim = len(v_grad_acc) - 2             # v_refs..., grad_ref, acc_ref
+    v_refs = v_grad_acc[:c_dim]
+    grad_ref = v_grad_acc[c_dim]
+    acc_ref = v_grad_acc[c_dim + 1]
+    subrows = hi_ref.shape[1]
+    width = hi_ref.shape[2]
     t_r = acc_ref.shape[1]
-    c_dim = acc_ref.shape[0]
     chunk_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -183,22 +200,29 @@ def _bwd_kernel(hi_ref, lo_ref, v_ref, grad_ref, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    hi = hi_ref[0, :, 0]
-    lo = lo_ref[0, :, 0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, t_r), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, t_r), 1)
-    oh_hi = (hi[:, None] == row_ids).astype(jnp.bfloat16)     # [CH, T_r]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (ch, LANES), 1)
-    oh_lo = (lo[:, None] == lane_ids)                         # [CH, 128] bool
-
-    for c in range(c_dim):
-        b = jnp.where(oh_lo, v_ref[0, :, c : c + 1], 0.0).astype(jnp.bfloat16)
+    for s in range(subrows):
+        hi = hi_ref[0, s]
+        lo = lo_ref[0, s]
+        oh_hi = (hi[:, None] == row_iota).astype(jnp.bfloat16)  # [256, T_r]
+        oh_lo = lo[:, None] == lane_iota                        # [256, 128]
+        # all C channels side by side: one [256, C*128] rhs per sub-row
+        b = jnp.concatenate(
+            [
+                jnp.where(oh_lo, v_refs[c][0, s][:, None], 0.0).astype(jnp.bfloat16)
+                for c in range(c_dim)
+            ],
+            axis=1,
+        )
         g = jax.lax.dot_general(
             oh_hi, b,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [T_r, 128]
-        acc_ref[c] += g
+        )                                                       # [T_r, C*128]
+        for c in range(c_dim):
+            acc_ref[c] += g[:, c * LANES : (c + 1) * LANES]
 
     @pl.when(chunk_idx == n_chunks - 1)
     def _():
@@ -216,7 +240,13 @@ def hash_encode_pallas(x01, table, spec: PackedHashSpec, chunk: int = 4096):
     return out
 
 
+WIDTH = 256          # lane-packed tile width (2 lane tiles)
+
+
 def _prep(hi, lo, w, chunk):
+    """Pad + lane-pack to [L, n8_pad/WIDTH, WIDTH] (corner f at row f//WIDTH,
+    lane f%WIDTH)."""
+    L = hi.shape[0]
     n8 = hi.shape[1]
     n8_pad = (n8 + chunk - 1) // chunk * chunk
     if n8_pad != n8:
@@ -224,7 +254,8 @@ def _prep(hi, lo, w, chunk):
         hi = jnp.pad(hi, ((0, 0), (0, pad)))
         lo = jnp.pad(lo, ((0, 0), (0, pad)), constant_values=-1)
         w = jnp.pad(w, ((0, 0), (0, pad)))
-    return hi[..., None], lo[..., None], w[..., None], n8_pad
+    shape = (L, n8_pad // WIDTH, WIDTH)
+    return hi.reshape(shape), lo.reshape(shape), w.reshape(shape), n8_pad
 
 
 def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
@@ -233,27 +264,31 @@ def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
     hi, lo, w = corner_indices_weights(x01, spec)
     hi3, lo3, w3, n8_pad = _prep(hi, lo, w, chunk)
     n_chunks = n8_pad // chunk
+    n_rows = n8_pad // WIDTH
 
+    assert chunk % WIDTH == 0
+    tile = pl.BlockSpec(
+        (1, chunk // WIDTH, WIDTH), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM
+    )
     feats = pl.pallas_call(
         _fwd_kernel,
         grid=(L, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
+            tile, tile, tile,
             pl.BlockSpec(
                 (1, C, spec.t_r, LANES), lambda l, c: (l, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, chunk, C), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM
+        out_specs=tuple(tile for _ in range(C)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, n_rows, WIDTH), jnp.float32) for _ in range(C)
         ),
-        out_shape=jax.ShapeDtypeStruct((L, n8_pad, C), jnp.float32),
     )(hi3, lo3, w3, table)
 
     # weighted corner features -> per-point sum -> [N, L*C]
-    out = feats[:, : n * 8, :].reshape(L, n, 8, C).sum(axis=2)
+    out = jnp.stack([f.reshape(L, n8_pad) for f in feats], -1)  # [L, n8, C]
+    out = out[:, : n * 8, :].reshape(L, n, 8, C).sum(axis=2)
     out = jnp.transpose(out, (1, 0, 2)).reshape(n, L * C)
     return out, (hi3, lo3, w3, n)
 
@@ -261,31 +296,34 @@ def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
 def _hash_encode_bwd(spec: PackedHashSpec, chunk: int, res, g):
     hi3, lo3, w3, n = res
     L, C = spec.num_levels, spec.level_dim
-    n8_pad = hi3.shape[1]
+    n_rows = hi3.shape[1]
+    n8_pad = n_rows * WIDTH
     n_chunks = n8_pad // chunk
 
-    # upstream g [N, L*C] -> per-corner v = w * g  [L, N8_pad, C]
+    # upstream g [N, L*C] -> per-corner v = w * g, lane-packed per channel
     g_ln = jnp.transpose(g.reshape(n, L, C), (1, 0, 2))       # [L, N, C]
     v = jnp.repeat(g_ln, 8, axis=1)                           # [L, N*8, C]
     if v.shape[1] != n8_pad:
         v = jnp.pad(v, ((0, 0), (0, n8_pad - v.shape[1]), (0, 0)))
-    v = v * w3
+    v_packed = [
+        v[..., c].reshape(L, n_rows, WIDTH) * w3 for c in range(C)
+    ]
 
+    assert chunk % WIDTH == 0
+    tile = pl.BlockSpec(
+        (1, chunk // WIDTH, WIDTH), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM
+    )
     grad = pl.pallas_call(
         _bwd_kernel,
         grid=(L, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, 1), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, C), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[tile, tile] + [tile] * C,
         out_specs=pl.BlockSpec(
             (1, C, spec.t_r, LANES), lambda l, c: (l, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((L, C, spec.t_r, LANES), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, spec.t_r, LANES), jnp.float32)],
-    )(hi3, lo3, v)
+    )(hi3, lo3, *v_packed)
     return None, grad
 
 
