@@ -135,11 +135,16 @@ def ngp_render_rays(
     cfg: NGPRenderConfig,
     perturb: bool = True,
     bg_color=None,
+    times: Optional[jnp.ndarray] = None,
 ):
     """Render [N] rays (unit rays_d). Returns dict(rgb, depth, acc).
 
     Differentiable wrt params; the occupancy state is treated as constant
     (stop-gradient), like the reference's no-grad grid updates.
+
+    ``times`` [N] enables the time-conditioned (D-NeRF) field protocol:
+    density_fn(params, xyz, t) with t broadcast over the samples axis
+    (dnerf/renderer.py's time plumbing).
     """
     n = rays_o.shape[0]
     S, K = cfg.n_candidates, cfg.n_keep
@@ -162,7 +167,11 @@ def ngp_render_rays(
     xyzk = rays_o[:, None, :] + rays_d[:, None, :] * zk[..., None]
     xyzk = jnp.clip(xyzk, -cfg.bound, cfg.bound)
 
-    sigma, geo = density_fn(params, xyzk)                            # [N,K], [N,K,F]
+    if times is not None:
+        tk = jnp.broadcast_to(times[:, None], zk.shape)              # [N, K]
+        sigma, geo = density_fn(params, xyzk, tk)
+    else:
+        sigma, geo = density_fn(params, xyzk)                        # [N,K], [N,K,F]
     sigma = jnp.where(mk, sigma, 0.0)
 
     deltas = zk[:, 1:] - zk[:, :-1]
@@ -198,10 +207,10 @@ def ngp_render_image(
     c2w,
     chunk: int = 8192,
     bg_color=None,
+    time: Optional[float] = None,
 ):
-    """Full-image eval render with fixed-size compiled chunks."""
-    import functools
-
+    """Full-image eval render with fixed-size compiled chunks.  ``time``
+    renders a D-NeRF frame at that timestamp."""
     from flnerf_tpu.rays.camera import get_rays
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
@@ -215,10 +224,13 @@ def ngp_render_image(
         rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))], 0)
         rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))], 0)
 
-    render = _eval_chunk(density_fn, rgb_fn, cfg)
+    render = _eval_chunk(density_fn, rgb_fn, cfg, timed=time is not None)
     rgbs, depths = [], []
     for i in range(0, n_pad, chunk):
-        out = render(params, occ, rays_o[i : i + chunk], rays_d[i : i + chunk])
+        args = [params, occ, rays_o[i : i + chunk], rays_d[i : i + chunk]]
+        if time is not None:
+            args.append(jnp.full((chunk,), float(time)))
+        out = render(*args)
         rgbs.append(out["rgb"])
         depths.append(out["depth"])
     rgb = jnp.concatenate(rgbs, 0)[:n].reshape(H, W, 3)
@@ -229,16 +241,26 @@ def ngp_render_image(
 _EVAL_CACHE = {}
 
 
-def _eval_chunk(density_fn, rgb_fn, cfg: NGPRenderConfig):
-    key = (id(density_fn), id(rgb_fn), cfg)
+def _eval_chunk(density_fn, rgb_fn, cfg: NGPRenderConfig, timed: bool = False):
+    key = (id(density_fn), id(rgb_fn), cfg, timed)
     if key not in _EVAL_CACHE:
+        if timed:
 
-        @jax.jit
-        def render(params, occ, rays_o, rays_d):
-            return ngp_render_rays(
-                jax.random.PRNGKey(0), params, density_fn, rgb_fn, occ,
-                rays_o, rays_d, cfg, perturb=False,
-            )
+            @jax.jit
+            def render(params, occ, rays_o, rays_d, times):
+                return ngp_render_rays(
+                    jax.random.PRNGKey(0), params, density_fn, rgb_fn, occ,
+                    rays_o, rays_d, cfg, perturb=False, times=times,
+                )
+
+        else:
+
+            @jax.jit
+            def render(params, occ, rays_o, rays_d):
+                return ngp_render_rays(
+                    jax.random.PRNGKey(0), params, density_fn, rgb_fn, occ,
+                    rays_o, rays_d, cfg, perturb=False,
+                )
 
         _EVAL_CACHE[key] = render
     return _EVAL_CACHE[key]

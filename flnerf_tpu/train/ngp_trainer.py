@@ -51,13 +51,20 @@ class NGPTrainConfig(NamedTuple):
                                    # reset to uniform (change_to_allpixel)
     bg_color: float = 1.0
     ema_decay: float = 0.0         # 0 disables; torch-ngp uses 0.95
+    time_dependent: bool = False   # D-NeRF: field fns take (params, x, t)
     seed: int = 0
 
 
 class NGPSampler:
-    """Per-image probability-map pixel sampler (provider.py:236-366)."""
+    """Per-image probability-map pixel sampler (provider.py:236-366).
 
-    def __init__(self, images, poses, K, cfg: NGPTrainConfig, seed: int = 0):
+    ``times`` [n_images] enables the D-NeRF per-frame timestamps
+    (dnerf/provider.py adds time to each view).
+    """
+
+    def __init__(self, images, poses, K, cfg: NGPTrainConfig, seed: int = 0,
+                 times=None):
+        self.times = np.asarray(times, np.float32) if times is not None else None
         self.images = np.ascontiguousarray(images, np.float32)
         self.n_images, self.H, self.W = images.shape[:3]
         self.rng = np.random.default_rng(seed)
@@ -124,11 +131,15 @@ class NGPSampler:
     def sample_chunk(self, n_steps: int, batch: int):
         """[n_steps] training batches; each step draws ``batch`` rays from
         one image (ngp's per-step single-image collate, provider.py:289).
-        Returns (origins, dirs, rgb, img_ids [n_steps], inds_coarse|None)."""
+        Returns (origins, dirs, rgb, img_ids [n_steps], inds_coarse|None,
+        times [n_steps, batch]|None)."""
         origins = np.empty((n_steps, batch, 3), np.float32)
         dirs = np.empty((n_steps, batch, 3), np.float32)
         rgb = np.empty((n_steps, batch, 3), np.float32)
         img_ids = np.empty(n_steps, np.int64)
+        t_out = (
+            np.empty((n_steps, batch), np.float32) if self.times is not None else None
+        )
         inds_coarse = (
             np.empty((n_steps, batch), np.int64) if self.error_map is not None else None
         )
@@ -147,7 +158,9 @@ class NGPSampler:
             origins[s] = self.origins[i, inds]
             dirs[s] = self.dirs[i, inds]
             rgb[s] = self.pixels[i, inds]
-        return origins, dirs, rgb, img_ids, inds_coarse
+            if t_out is not None:
+                t_out[s] = self.times[i]
+        return origins, dirs, rgb, img_ids, inds_coarse, t_out
 
 
 class NGPTrainState(NamedTuple):
@@ -195,9 +208,24 @@ class NGPTrainer:
         density_fn = self.density_fn
         rcfg = self.rcfg
 
-        @jax.jit
-        def occ_fn(occ, params, key):
-            return update_occupancy(occ, params, density_fn, key, rcfg)
+        if self.cfg.time_dependent:
+            # refresh at a random timestamp per update (the dnerf renderer
+            # samples t when refreshing its grid)
+            @jax.jit
+            def occ_fn(occ, params, key):
+                kt, ku = jax.random.split(key)
+                t = jax.random.uniform(kt, ())
+
+                def density_at_t(p, x):
+                    return density_fn(p, x, jnp.full(x.shape[:-1], t))
+
+                return update_occupancy(occ, params, density_at_t, ku, rcfg)
+
+        else:
+
+            @jax.jit
+            def occ_fn(occ, params, key):
+                return update_occupancy(occ, params, density_fn, key, rcfg)
 
         return occ_fn
 
@@ -206,12 +234,16 @@ class NGPTrainer:
         rcfg, cfg, tx = self.rcfg, self.cfg, self.tx
 
         def one_step(state: NGPTrainState, occ, xs):
-            origins, dirs, rgb, key = xs
+            if cfg.time_dependent:
+                origins, dirs, rgb, times, key = xs
+            else:
+                origins, dirs, rgb, key = xs
+                times = None
 
             def loss_fn(params):
                 out = ngp_render_rays(
                     key, params, density_fn, rgb_fn, occ, origins, dirs, rcfg,
-                    perturb=True, bg_color=cfg.bg_color,
+                    perturb=True, bg_color=cfg.bg_color, times=times,
                 )
                 per_ray = jnp.mean((out["rgb"] - rgb) ** 2, -1)
                 return jnp.mean(per_ray), per_ray
@@ -237,6 +269,30 @@ class NGPTrainer:
                 (loss, per_ray),
             )
 
+        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = replicated(self.mesh)
+
+        if cfg.time_dependent:
+
+            def chunk_fn(state, occ, origins, dirs, rgb, times, base_key):
+                keys = jax.random.split(base_key, origins.shape[0])
+
+                def body(st, xs):
+                    st, out = one_step(st, occ, xs)
+                    return st, out
+
+                state, (losses, per_ray) = jax.lax.scan(
+                    body, state, (origins, dirs, rgb, times, keys)
+                )
+                return state, losses, per_ray
+
+            return jax.jit(
+                chunk_fn,
+                in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh, rep),
+                out_shardings=(rep, rep, rep),
+                donate_argnums=(0,),
+            )
+
         def chunk_fn(state, occ, origins, dirs, rgb, base_key):
             keys = jax.random.split(base_key, origins.shape[0])
 
@@ -249,8 +305,6 @@ class NGPTrainer:
             )
             return state, losses, per_ray
 
-        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        rep = replicated(self.mesh)
         return jax.jit(
             chunk_fn,
             in_shardings=(rep, rep, data_sh, data_sh, data_sh, rep),
@@ -276,10 +330,11 @@ class NGPTrainer:
                 key, sub = jax.random.split(key)
                 self.occ = self._occ_fn(self.occ, self.state.params, sub)
 
-            origins, dirs, rgb, img_ids, inds_coarse = sampler.sample_chunk(
+            origins, dirs, rgb, img_ids, inds_coarse, times = sampler.sample_chunk(
                 cfg.steps_per_chunk, cfg.batch_rays
             )
-            args = [jax.device_put(a, data_sh) for a in (origins, dirs, rgb)]
+            arrays = (origins, dirs, rgb) + ((times,) if cfg.time_dependent else ())
+            args = [jax.device_put(a, data_sh) for a in arrays]
             key, sub = jax.random.split(key)
             self.state, losses, per_ray = self._chunk_fn(self.state, self.occ, *args, sub)
             if inds_coarse is not None:
@@ -362,7 +417,8 @@ class NGPTrainer:
         )
         return path
 
-    def eval_images(self, poses, images, H, W, K, chunk: int = 8192, use_ema: bool = False):
+    def eval_images(self, poses, images, H, W, K, chunk: int = 8192,
+                    use_ema: bool = False, times=None):
         params = (
             self.state.ema_params
             if use_ema and self.state.ema_params is not None
@@ -373,6 +429,7 @@ class NGPTrainer:
             rgb, _ = ngp_render_image(
                 params, self.density_fn, self.rgb_fn, self.occ,
                 self.rcfg, H, W, K, poses[i][:3, :4], chunk=chunk,
+                time=(float(times[i]) if times is not None else None),
             )
             mse = float(np.mean((rgb - images[i]) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))

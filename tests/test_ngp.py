@@ -193,7 +193,7 @@ def test_ngp_sampler_error_map_and_prob():
     cfg = NGPTrainConfig(use_error_map=True)
     s = NGPSampler(images[tr], poses[tr], K, cfg)
     assert s.error_map.shape == (3, 128 * 128)
-    o, d, rgb, img_ids, ic = s.sample_chunk(4, 64)
+    o, d, rgb, img_ids, ic, tt = s.sample_chunk(4, 64)
     assert o.shape == (4, 64, 3) and ic.shape == (4, 64)
     assert set(img_ids) <= {0, 1, 2}
     # EMA update drives the map toward the per-ray error
@@ -208,7 +208,7 @@ def test_ngp_sampler_error_map_and_prob():
     # biased error map concentrates sampling
     s.error_map[:] = 1e-9
     s.error_map[0, 0] = 1.0  # coarse cell (0,0) dominates image 0
-    o, d, rgb, img_ids, ic = s.sample_chunk(1, 256)
+    o, d, rgb, img_ids, ic, tt = s.sample_chunk(1, 256)
     assert img_ids[0] in (0, 1, 2)
     # all_pixel switch clears the maps
     s.change_to_allpixel()
