@@ -90,6 +90,48 @@ def occupancy_lookup(occ: OccupancyState, xyz, cfg: NGPRenderConfig):
     return vals > thresh
 
 
+def mark_untrained_grid(
+    occ: OccupancyState,
+    poses: np.ndarray,
+    K: np.ndarray,
+    H: int,
+    W: int,
+    cfg: NGPRenderConfig,
+    chunk: int = 1 << 16,
+) -> OccupancyState:
+    """Mark grid cells invisible from every training camera as permanently
+    empty (renderer.py:380-442 mark_untrained_grid).
+
+    A cell is trainable iff its center projects inside at least one camera's
+    image with positive depth (OpenGL convention: camera looks along -z).
+    Untrained cells get density -1 so the EMA-max refresh never revives them
+    (the reference pins them at -1 likewise).
+    """
+    g = cfg.grid_size
+    idx = np.arange(g)
+    gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
+    centers = (np.stack([gx, gy, gz], -1).reshape(-1, 3) + 0.5) / g
+    centers = (centers * 2.0 - 1.0) * cfg.bound                     # [M, 3]
+
+    poses = np.asarray(poses)
+    K = np.asarray(K)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    visible = np.zeros(centers.shape[0], bool)
+    for p in poses:
+        R = p[:3, :3]
+        t = p[:3, 3]
+        cam = (centers - t) @ R                                      # world->cam
+        z = -cam[:, 2]                                               # looking -z
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = fx * cam[:, 0] / np.maximum(z, 1e-9) + cx
+            v = -fy * cam[:, 1] / np.maximum(z, 1e-9) + cy
+        visible |= (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+
+    density = np.asarray(occ.density).reshape(-1).copy()
+    density[~visible] = -1.0
+    return occ._replace(density=jnp.asarray(density.reshape(g, g, g)))
+
+
 def update_occupancy(
     occ: OccupancyState,
     params,
@@ -119,7 +161,13 @@ def update_occupancy(
         sigmas.append(s)
     sigma = jnp.concatenate(sigmas).reshape(g, g, g) * cfg.density_scale
 
-    new_density = jnp.maximum(occ.density * cfg.decay, sigma)
+    # untrained cells (marked -1 by mark_untrained_grid) stay pinned at -1,
+    # matching the reference's density_grid >= 0 update guard
+    new_density = jnp.where(
+        occ.density < 0,
+        occ.density,
+        jnp.maximum(occ.density * cfg.decay, sigma),
+    )
     mean_density = jnp.mean(jnp.clip(new_density, 0.0, None))
     return OccupancyState(new_density, mean_density)
 
