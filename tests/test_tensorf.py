@@ -23,8 +23,8 @@ def test_plane_line_sampling_align_corners():
     out = _sample_plane(plane, jnp.array([-1.0, 1.0]), jnp.array([-1.0, 1.0]))
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(plane[:, 0, 0]))
     np.testing.assert_allclose(np.asarray(out[:, 1]), np.asarray(plane[:, 3, 3]))
-    # midpoint between two entries interpolates
-    mid = _sample_plane(plane, jnp.array([-1.0 + 2 / 3 / 2 * 2]), jnp.array([-1.0]))
+    # midpoint between entries 0 and 1 along W: x = 0.5 -> u = 2*0.5/3 - 1
+    mid = _sample_plane(plane, jnp.array([2 * 0.5 / 3 - 1.0]), jnp.array([-1.0]))
     expect = 0.5 * (plane[:, 0, 0] + plane[:, 0, 1])
     np.testing.assert_allclose(np.asarray(mid[:, 0]), np.asarray(expect), atol=1e-5)
 
