@@ -148,30 +148,31 @@ def corner_indices_weights(x01: jnp.ndarray, spec: PackedHashSpec):
 def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, *out_refs):
     """One (level, chunk): weighted corner features for the chunk.
 
-    Operands arrive lane-packed as [1, SUBROWS, 256] tiles (corner f sits at
-    row f // 256, lane f %% 256) so each grid step DMAs kilobytes, not the
-    megabytes a [CH, 1] column layout would cost.  Each sub-row becomes a
-    [256, T_r] one-hot whose matmul against the level table fetches the
-    needed rows; lane-select + weight produce the per-corner features.
+    Operands arrive COLUMN-packed as [1, 1, 256, CPR] tiles (corner f of the
+    chunk sits at sublane f %% 256, column f // 256): sub-column j is already
+    a [256, 1] sublane vector, so building the [256, T_r] one-hot needs no
+    lane->sublane relayout (the previous lane-packed layout spent most of
+    its time in those relayouts), and the feature store is a lane-indexed
+    column write.
     """
-    subrows = hi_ref.shape[1]
     width = hi_ref.shape[2]
+    cpr = hi_ref.shape[3]
     t_r = table_ref.shape[2]
     c_dim = table_ref.shape[1]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, t_r), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
-    # all C channels side by side in lanes: one [T_r, C*128] matmul per row
+    # all C channels side by side in lanes: one [T_r, C*128] matmul per col
     tab = jnp.concatenate(
         [table_ref[0, c].astype(jnp.bfloat16) for c in range(c_dim)], axis=1
     )
 
-    for s in range(subrows):
-        hi = hi_ref[0, s]                                     # [256] lanes
-        lo = lo_ref[0, s]
-        w = w_ref[0, s]
-        oh_hi = (hi[:, None] == row_iota).astype(jnp.bfloat16)   # [256, T_r]
-        sel = lo[:, None] == lane_iota                           # [256, 128]
+    for j in range(cpr):
+        hi = hi_ref[0, 0, :, j : j + 1]                          # [256, 1]
+        lo = lo_ref[0, 0, :, j : j + 1]
+        w = w_ref[0, 0, :, j]                                    # [256]
+        oh_hi = (hi == row_iota).astype(jnp.bfloat16)            # [256, T_r]
+        sel = lo == lane_iota                                    # [256, 128]
         rows = jax.lax.dot_general(
             oh_hi, tab,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -180,7 +181,7 @@ def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, *out_refs):
         for c in range(c_dim):
             rc = rows[:, c * LANES : (c + 1) * LANES]
             feat = jnp.sum(jnp.where(sel, rc, 0.0), axis=1)      # [256] col
-            out_refs[c][0, s] = feat * w
+            out_refs[c][0, 0, :, j] = feat * w
 
 
 def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
@@ -190,8 +191,8 @@ def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
     v_refs = v_grad_acc[:c_dim]
     grad_ref = v_grad_acc[c_dim]
     acc_ref = v_grad_acc[c_dim + 1]
-    subrows = hi_ref.shape[1]
     width = hi_ref.shape[2]
+    cpr = hi_ref.shape[3]
     t_r = acc_ref.shape[1]
     chunk_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -203,15 +204,17 @@ def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, t_r), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
 
-    for s in range(subrows):
-        hi = hi_ref[0, s]
-        lo = lo_ref[0, s]
-        oh_hi = (hi[:, None] == row_iota).astype(jnp.bfloat16)  # [256, T_r]
-        oh_lo = lo[:, None] == lane_iota                        # [256, 128]
-        # all C channels side by side: one [256, C*128] rhs per sub-row
+    for j in range(cpr):
+        hi = hi_ref[0, 0, :, j : j + 1]                         # [256, 1]
+        lo = lo_ref[0, 0, :, j : j + 1]
+        oh_hi = (hi == row_iota).astype(jnp.bfloat16)           # [256, T_r]
+        oh_lo = lo == lane_iota                                 # [256, 128]
+        # all C channels side by side: one [256, C*128] rhs per column
         b = jnp.concatenate(
             [
-                jnp.where(oh_lo, v_refs[c][0, s][:, None], 0.0).astype(jnp.bfloat16)
+                jnp.where(
+                    oh_lo, v_refs[c][0, 0, :, j : j + 1], 0.0
+                ).astype(jnp.bfloat16)
                 for c in range(c_dim)
             ],
             axis=1,
@@ -244,8 +247,9 @@ WIDTH = 256          # lane-packed tile width (2 lane tiles)
 
 
 def _prep(hi, lo, w, chunk):
-    """Pad + lane-pack to [L, n8_pad/WIDTH, WIDTH] (corner f at row f//WIDTH,
-    lane f%WIDTH)."""
+    """Pad + column-pack to [L, n_chunks, WIDTH, CPR]: corner f of chunk k
+    sits at [:, k, f % WIDTH, f // WIDTH] (sublane-major within the chunk,
+    so each in-kernel column slice is already a sublane vector)."""
     L = hi.shape[0]
     n8 = hi.shape[1]
     n8_pad = (n8 + chunk - 1) // chunk * chunk
@@ -254,21 +258,27 @@ def _prep(hi, lo, w, chunk):
         hi = jnp.pad(hi, ((0, 0), (0, pad)))
         lo = jnp.pad(lo, ((0, 0), (0, pad)), constant_values=-1)
         w = jnp.pad(w, ((0, 0), (0, pad)))
-    shape = (L, n8_pad // WIDTH, WIDTH)
-    return hi.reshape(shape), lo.reshape(shape), w.reshape(shape), n8_pad
+    cpr = chunk // WIDTH
+
+    def pack(a):
+        return jnp.transpose(
+            a.reshape(L, n8_pad // chunk, cpr, WIDTH), (0, 1, 3, 2)
+        )
+
+    return pack(hi), pack(lo), pack(w), n8_pad
 
 
 def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
     n = x01.shape[0]
     L, C = spec.num_levels, spec.level_dim
     hi, lo, w = corner_indices_weights(x01, spec)
+    assert chunk % WIDTH == 0
     hi3, lo3, w3, n8_pad = _prep(hi, lo, w, chunk)
     n_chunks = n8_pad // chunk
-    n_rows = n8_pad // WIDTH
+    cpr = chunk // WIDTH
 
-    assert chunk % WIDTH == 0
     tile = pl.BlockSpec(
-        (1, chunk // WIDTH, WIDTH), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM
+        (1, 1, WIDTH, cpr), lambda l, c: (l, c, 0, 0), memory_space=pltpu.VMEM
     )
     feats = pl.pallas_call(
         _fwd_kernel,
@@ -282,12 +292,18 @@ def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
         ],
         out_specs=tuple(tile for _ in range(C)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((L, n_rows, WIDTH), jnp.float32) for _ in range(C)
+            jax.ShapeDtypeStruct((L, n_chunks, WIDTH, cpr), jnp.float32)
+            for _ in range(C)
         ),
     )(hi3, lo3, w3, table)
 
-    # weighted corner features -> per-point sum -> [N, L*C]
-    out = jnp.stack([f.reshape(L, n8_pad) for f in feats], -1)  # [L, n8, C]
+    # unpack column layout -> flat corners -> per-point sum -> [N, L*C]
+    out = jnp.stack(
+        [
+            jnp.transpose(f, (0, 1, 3, 2)).reshape(L, n8_pad) for f in feats
+        ],
+        -1,
+    )                                                           # [L, n8, C]
     out = out[:, : n * 8, :].reshape(L, n, 8, C).sum(axis=2)
     out = jnp.transpose(out, (1, 0, 2)).reshape(n, L * C)
     return out, (hi3, lo3, w3, n)
@@ -296,22 +312,25 @@ def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
 def _hash_encode_bwd(spec: PackedHashSpec, chunk: int, res, g):
     hi3, lo3, w3, n = res
     L, C = spec.num_levels, spec.level_dim
-    n_rows = hi3.shape[1]
-    n8_pad = n_rows * WIDTH
-    n_chunks = n8_pad // chunk
+    n_chunks = hi3.shape[1]
+    cpr = chunk // WIDTH
+    n8_pad = n_chunks * chunk
 
-    # upstream g [N, L*C] -> per-corner v = w * g, lane-packed per channel
+    # upstream g [N, L*C] -> per-corner v = w * g, column-packed per channel
     g_ln = jnp.transpose(g.reshape(n, L, C), (1, 0, 2))       # [L, N, C]
     v = jnp.repeat(g_ln, 8, axis=1)                           # [L, N*8, C]
     if v.shape[1] != n8_pad:
         v = jnp.pad(v, ((0, 0), (0, n8_pad - v.shape[1]), (0, 0)))
     v_packed = [
-        v[..., c].reshape(L, n_rows, WIDTH) * w3 for c in range(C)
+        jnp.transpose(
+            v[..., c].reshape(L, n_chunks, cpr, WIDTH), (0, 1, 3, 2)
+        )
+        * w3
+        for c in range(C)
     ]
 
-    assert chunk % WIDTH == 0
     tile = pl.BlockSpec(
-        (1, chunk // WIDTH, WIDTH), lambda l, c: (l, c, 0), memory_space=pltpu.VMEM
+        (1, 1, WIDTH, cpr), lambda l, c: (l, c, 0, 0), memory_space=pltpu.VMEM
     )
     grad = pl.pallas_call(
         _bwd_kernel,
