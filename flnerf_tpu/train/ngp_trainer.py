@@ -52,6 +52,8 @@ class NGPTrainConfig(NamedTuple):
     bg_color: float = 1.0
     ema_decay: float = 0.0         # 0 disables; torch-ngp uses 0.95
     time_dependent: bool = False   # D-NeRF: field fns take (params, x, t)
+    loss_type: str = "mse"         # 'mse' | 'huber' (loss.py:18)
+    huber_delta: float = 0.1
     seed: int = 0
 
 
@@ -245,7 +247,14 @@ class NGPTrainer:
                     key, params, density_fn, rgb_fn, occ, origins, dirs, rcfg,
                     perturb=True, bg_color=cfg.bg_color, times=times,
                 )
-                per_ray = jnp.mean((out["rgb"] - rgb) ** 2, -1)
+                if cfg.loss_type == "huber":
+                    from flnerf_tpu.core.losses import huber_loss
+
+                    per_ray = jnp.mean(
+                        huber_loss(out["rgb"], rgb, cfg.huber_delta, reduce=False), -1
+                    )
+                else:
+                    per_ray = jnp.mean((out["rgb"] - rgb) ** 2, -1)
                 return jnp.mean(per_ray), per_ray
 
             (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
