@@ -53,6 +53,7 @@ def main(argv=None):
     parser.add_argument("--reso", type=int, default=192)
     parser.add_argument("--sigma_thresh", type=float, default=25.0)
     parser.add_argument("--multires", type=int, default=10)
+    parser.add_argument("--multires_views", type=int, default=4)
     parser.add_argument("--netdepth", type=int, default=8)
     parser.add_argument("--netwidth", type=int, default=256)
     args = parser.parse_args(argv)
@@ -71,15 +72,10 @@ def main(argv=None):
     else:
         import jax.numpy as jnp
 
+        # viewdir-conditioned checkpoints expose sigma through the trunk;
+        # query with a fixed direction
         init_fn, query_fn = make_nerf_field(
-            multires=args.multires, multires_views=0,
-            netdepth=args.netdepth, netwidth=args.netwidth,
-            use_viewdirs=False, compute_dtype=jnp.float32,
-        )
-        # viewdir-conditioned checkpoints still expose sigma through the
-        # trunk; rebuild with viewdirs and query with a fixed direction
-        init_fn, query_fn = make_nerf_field(
-            multires=args.multires, multires_views=4,
+            multires=args.multires, multires_views=args.multires_views,
             netdepth=args.netdepth, netwidth=args.netwidth,
             use_viewdirs=True, compute_dtype=jnp.float32,
         )
