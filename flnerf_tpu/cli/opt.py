@@ -108,11 +108,39 @@ def main(argv=None):
     with open(os.path.join(args.train_dir, "args.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 
+    # dataset dispatch (opt/util/dataset.py:7-28 auto-detect analog)
+    dtype = args.dataset_type
+    if dtype == "auto" and args.data_dir != "synthetic":
+        import os as _os
+
+        if _os.path.exists(_os.path.join(args.data_dir, "transforms_train.json")):
+            dtype = "nerf"
+        elif _os.path.exists(_os.path.join(args.data_dir, "intrinsics.txt")):
+            dtype = "nsvf"
+        elif _os.path.exists(_os.path.join(args.data_dir, "poses_bounds.npy")):
+            dtype = "llff"
+
+    opencv_rays = False
     if args.data_dir == "synthetic":
         from flnerf_tpu.data.synthetic import load_synthetic_data
 
         images, poses, rp, hwf, i_split = load_synthetic_data(n_train=8, n_test=2, H=48, W=48)
         radius = (1.2, 1.2, 1.2)
+    elif dtype == "nsvf":
+        from flnerf_tpu.data.extra_loaders import load_nsvf_data
+
+        scale = args.scene_scale or 1.0
+        imgs_tr, poses_tr, K_nsvf, hwf = load_nsvf_data(args.data_dir, "train", scale)
+        imgs_te, poses_te, _, _ = load_nsvf_data(args.data_dir, "test", scale)
+        images = np.concatenate([imgs_tr, imgs_te], 0)
+        poses = np.concatenate([poses_tr, poses_te], 0)
+        i_split = [
+            np.arange(len(imgs_tr)),
+            np.arange(len(imgs_tr), len(images)),
+            np.arange(len(imgs_tr), len(images)),
+        ]
+        radius = (1.5, 1.5, 1.5)
+        opencv_rays = True  # NSVF poses use the OpenCV camera convention
     else:
         from flnerf_tpu.data.blender import composite_white_bkgd, load_blender_data
 
@@ -123,8 +151,17 @@ def main(argv=None):
     H, W, focal = [int(hwf[0]), int(hwf[1]), hwf[2]]
     K = intrinsics_matrix(H, W, focal)
     i_train, _, i_test = i_split
-    origins = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[i_train]], 0)
-    dirs = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[i_train]], 0)
+    if opencv_rays:
+        from flnerf_tpu.data.nerfpp_dataset import get_rays_opencv_np
+
+        K4 = np.eye(4, dtype=np.float32)
+        K4[:3, :3] = K_nsvf[:3, :3]
+        rays = [get_rays_opencv_np(H, W, K4, p) for p in poses[i_train]]
+        origins = np.stack([r[0] for r in rays], 0)
+        dirs = np.stack([r[1] for r in rays], 0)
+    else:
+        origins = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[i_train]], 0)
+        dirs = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[i_train]], 0)
     budgeter = RayBudgeter(
         images[i_train], origins, dirs, init_level=args.init_level, seed=args.seed
     )
