@@ -331,7 +331,9 @@ class NGPTrainer:
         t0 = time.time()
 
         for ci in range(n_chunks):
-            if ci == allpixel_chunk and sampler.image_probs is not None:
+            if ci == allpixel_chunk and (
+                sampler.image_probs is not None or sampler.error_map is not None
+            ):
                 sampler.change_to_allpixel()
                 if verbose:
                     print("switched to all-pixel (uniform) sampling")
