@@ -1,0 +1,122 @@
+"""Pallas fused voxel render vs the pure-XLA twin (kernel-vs-reference
+parity + gradcheck, the analog of plenoxels-ours/test/test_render_gradcheck.py).
+
+Runs in interpret mode on the CPU mesh (conftest forces cpu)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flnerf_tpu.models.voxel_sh import (
+    VoxelGrid,
+    VoxelGridConfig,
+    voxel_render_rays,
+)
+from flnerf_tpu.ops import voxel_pallas as vp
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    cfg = VoxelGridConfig(reso=(32, 32, 32), max_steps=36, step_size=0.5)
+    grid = VoxelGrid(
+        density=jnp.asarray(rng.random((32, 32, 32)), jnp.float32) * 2.0,
+        sh=jnp.asarray(rng.standard_normal((32, 32, 32, 27)) * 0.3, jnp.float32),
+        alive=jnp.asarray(rng.random((32, 32, 32)) > 0.1),
+    )
+    n = 64
+    o = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (n, 1))
+    d = np.tile(np.array([[0.02, 0.01, 1.0]], np.float32), (n, 1))
+    d[:, :2] += rng.standard_normal((n, 2)).astype(np.float32) * 0.01
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return cfg, grid, jnp.asarray(o), jnp.asarray(d)
+
+
+def test_forward_parity(scene):
+    cfg, grid, o, d = scene
+    ref = voxel_render_rays(grid, o, d, cfg)
+    out = vp.voxel_render_rays_fast(grid, o, d, cfg)
+    assert bool(np.all(np.asarray(out["ok"])))
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["acc"]), np.asarray(ref["acc"]), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=5e-2)
+
+
+def test_gradients_match_twin(scene):
+    cfg, grid, o, d = scene
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.random((o.shape[0], 3)), jnp.float32)
+
+    def loss(render):
+        def f(dens, sh):
+            g = VoxelGrid(dens, sh, grid.alive)
+            return jnp.mean((render(g)["rgb"] - gt) ** 2)
+        return jax.grad(f, argnums=(0, 1))(grid.density, grid.sh)
+
+    gd_t, gs_t = loss(lambda g: voxel_render_rays(g, o, d, cfg))
+    gd_f, gs_f = loss(lambda g: vp.voxel_render_rays_fast(g, o, d, cfg))
+    for a, b in ((gd_f, gd_t), (gs_f, gs_t)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max()
+        assert np.abs(a - b).max() < 0.01 * scale  # bf16 table/compute class
+
+
+def test_miss_rays_get_background(scene):
+    cfg, grid, _, _ = scene
+    # rays pointing away from the grid
+    o = jnp.asarray(np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (64, 1)))
+    d = jnp.asarray(np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (64, 1)))
+    out = vp.voxel_render_rays_fast(grid, o, d, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), cfg.background_brightness, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["acc"]), 0.0, atol=1e-5)
+
+
+def test_spread_violation_flagged(scene):
+    cfg, grid, _, _ = scene
+    rng = np.random.default_rng(2)
+    # incoherent rays: random directions in one block -> box can't cover
+    o = jnp.asarray(np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (64, 1)))
+    d = rng.standard_normal((64, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.5
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = vp.voxel_render_rays_fast(grid, jnp.asarray(o), jnp.asarray(d), cfg)
+    assert not bool(np.all(np.asarray(out["ok"])))
+
+
+def test_pack_table_roundtrip_values(scene):
+    cfg, grid, _, _ = scene
+    t = vp.pack_table(grid, cfg)
+    zg = vp.n_zgroups(cfg.reso[2])
+    assert t.shape == (zg, 32, 32, 128)
+    # lane k*28+0 at (g,x,y) == density at z=3g+k (alive-masked)
+    dens = np.where(np.asarray(grid.alive), np.asarray(grid.density), 0.0)
+    tn = np.asarray(t, np.float32)
+    for g, k in ((0, 0), (1, 2), (zg - 1, 3)):
+        z = min(3 * g + k, 31)
+        np.testing.assert_allclose(
+            tn[g, :, :, k * 28], dens[:, :, z], atol=4e-3, rtol=1e-2)
+
+
+def test_morton_order_coherence():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 800, 4096)
+    py = rng.integers(0, 800, 4096)
+    img = rng.integers(0, 4, 4096)
+    order = vp.morton_order(px, py, img)
+    pxs, pys, imgs = px[order], py[order], img[order]
+    # images grouped
+    assert (np.diff(imgs) >= 0).all()
+    # blocks of 64 are spatially tighter than random order
+    def mean_span(p, q):
+        spans = []
+        for i in range(0, 4096, 64):
+            spans.append(
+                (p[i:i+64].max() - p[i:i+64].min())
+                + (q[i:i+64].max() - q[i:i+64].min()))
+        return np.mean(spans)
+    assert mean_span(pxs, pys) < 0.5 * mean_span(px, py)
