@@ -54,6 +54,9 @@ class RayEpoch(NamedTuple):
     leaf_id: np.ndarray   # [N] int32 — global index into the CURRENT forest
     n_leaves: int         # forest size M when these rays were generated
     viewdirs: Optional[np.ndarray] = None  # [N, 3] pre-NDC unit dirs (LLFF)
+    px: Optional[np.ndarray] = None        # [N] int32 pixel row (coherence keys
+    py: Optional[np.ndarray] = None        # [N] int32 pixel col  for the Pallas
+    img: Optional[np.ndarray] = None       # [N] int32 image id   voxel kernel)
 
 
 def _uniform_forest(n_images: int, H: int, W: int, depth: int):
@@ -282,10 +285,15 @@ class RayBudgeter:
         if shuffle:
             perm = self.rng.permutation(rgb.shape[0])
             rgb, origins, dirs, leaf_id = rgb[perm], origins[perm], dirs[perm], leaf_id[perm]
+            px, py, img_of_ray = px[perm], py[perm], img_of_ray[perm]
             if vdirs is not None:
                 vdirs = vdirs[perm]
 
-        return RayEpoch(origins, dirs, rgb, leaf_id, forest.n_leaves, vdirs)
+        return RayEpoch(
+            origins, dirs, rgb, leaf_id, forest.n_leaves, vdirs,
+            px.astype(np.int32), py.astype(np.int32),
+            img_of_ray.astype(np.int32),
+        )
 
     def adjust(self, leaf_stat: np.ndarray, thres: float) -> int:
         """Subdivide based on the on-device per-leaf loss statistic."""

@@ -34,6 +34,7 @@ from flnerf_tpu.models.voxel_sh import (
     upsample_grid,
     voxel_render_rays,
 )
+from flnerf_tpu.ops import voxel_pallas as vp
 from flnerf_tpu.parallel.mesh import DATA_AXIS, make_mesh, pad_to_multiple, replicated
 from flnerf_tpu.rays.quadtree import RayBudgeter, RayEpoch
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -73,6 +74,11 @@ class PlenoxelsTrainConfig(NamedTuple):
     upsample_epochs: Tuple[int, ...] = ()
     prune_sigma_thresh: float = 5.0
     seed: int = 0
+    # Pallas fused render path (ops/voxel_pallas.py) — the TPU analog of
+    # svox2's use_kernel=True.  Epoch rays are morton-ordered into 64-ray
+    # blocks (block order shuffled); blocks whose spatial spread exceeds
+    # the kernel's box are dropped from the loss (fraction reported).
+    use_kernel: bool = False
 
 
 class PlenoxelsState(NamedTuple):
@@ -92,6 +98,10 @@ def _leaf_buf_size(n: int) -> int:
 class PlenoxelsTrainer:
     def __init__(self, grid_cfg: VoxelGridConfig, train_cfg: PlenoxelsTrainConfig, mesh=None):
         self.gcfg = grid_cfg
+        if train_cfg.use_kernel and train_cfg.batch_size % vp.RB != 0:
+            train_cfg = train_cfg._replace(
+                batch_size=-(-train_cfg.batch_size // vp.RB) * vp.RB
+            )
         self.cfg = train_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         grid = init_voxel_grid(grid_cfg)
@@ -111,6 +121,7 @@ class PlenoxelsTrainer:
     # ------------------------------------------------------------------
     def _make_chunk_fn(self, leaf_buf: int, gcfg: VoxelGridConfig):
         cfg = self.cfg
+        use_kernel = cfg.use_kernel
 
         def one_step(state: PlenoxelsState, err_buf, xs):
             origins, dirs, rgb, leaf, mask = xs
@@ -118,16 +129,29 @@ class PlenoxelsTrainer:
             def loss_fn(train_vars):
                 density, sh = train_vars
                 grid = state.grid._replace(density=density, sh=sh)
-                out = voxel_render_rays(grid, origins, dirs, gcfg)
-                m = mask[:, None]
-                denom = jnp.maximum(jnp.sum(mask), 1.0) * 3.0
+                if use_kernel:
+                    # Fused Pallas path (the volume_render_cuvol_fused
+                    # analog).  Spread-violating blocks drop out of the loss.
+                    blocks = vp.build_blocks(origins, dirs, gcfg)
+                    table = vp.pack_table(grid, gcfg)
+                    kout = vp.render_blocks(
+                        table, blocks.rays, blocks.corners, blocks.valid, gcfg
+                    )
+                    out = {"rgb": kout.reshape(-1, 8)[:, 0:3]}
+                    ray_ok = jnp.repeat(blocks.ok.astype(jnp.float32), vp.RB)
+                    eff_mask = mask * ray_ok
+                else:
+                    out = voxel_render_rays(grid, origins, dirs, gcfg)
+                    eff_mask = mask
+                m = eff_mask[:, None]
+                denom = jnp.maximum(jnp.sum(eff_mask), 1.0) * 3.0
                 mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
                 reg = cfg.lambda_tv * tv_loss(density, state.grid.alive)
                 reg = reg + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive)
                 per_ray_err = jnp.max(jnp.abs(out["rgb"] - rgb), -1)
-                return mse + reg, (mse, per_ray_err)
+                return mse + reg, (mse, per_ray_err, eff_mask)
 
-            (loss, (mse, per_ray_err)), grads = jax.value_and_grad(
+            (loss, (mse, per_ray_err, eff_mask)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )((state.grid.density, state.grid.sh))
             g_density, g_sh = grads
@@ -151,10 +175,11 @@ class PlenoxelsTrainer:
             )
             new_sh = state.grid.sh - lr_sh * g_sh / (jnp.sqrt(rms_s) + 1e-8)
 
-            safe_leaf = jnp.where(mask > 0, leaf, leaf_buf - 1)
+            safe_leaf = jnp.where(eff_mask > 0, leaf, leaf_buf - 1)
             err_buf = (
-                err_buf[0].at[safe_leaf].add(jnp.where(mask > 0, per_ray_err, 0.0)),
-                err_buf[1].at[safe_leaf].add(mask),
+                err_buf[0].at[safe_leaf].add(
+                    jnp.where(eff_mask > 0, per_ray_err, 0.0)),
+                err_buf[1].at[safe_leaf].add(eff_mask),
             )
             new_state = PlenoxelsState(
                 state.grid._replace(density=new_density, sh=new_sh),
@@ -173,7 +198,10 @@ class PlenoxelsTrainer:
             )
             return state, err_buf, mses
 
-        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        data_sh = (
+            replicated(self.mesh) if use_kernel
+            else NamedSharding(self.mesh, P(None, DATA_AXIS))
+        )
         rep = replicated(self.mesh)
         return jax.jit(
             chunk_fn,
@@ -189,8 +217,71 @@ class PlenoxelsTrainer:
         return self._chunk_fns[key]
 
     # ------------------------------------------------------------------
+    def _block_ok(self, origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """Host helper: per-64-ray-block spread flags (chunked jit)."""
+        if not hasattr(self, "_block_ok_fn") or self._block_ok_cfg != self.gcfg:
+            gcfg = self.gcfg
+
+            @jax.jit
+            def fn(o, d):
+                return vp.build_blocks(o, d, gcfg).ok
+
+            self._block_ok_fn = fn
+            self._block_ok_cfg = gcfg
+        chunk = 16384
+        n = origins.shape[0]
+        oks = []
+        for i in range(0, n, chunk):
+            o, d = origins[i:i + chunk], dirs[i:i + chunk]
+            if o.shape[0] < chunk:
+                fill = chunk - o.shape[0]
+                o = np.concatenate([o, np.broadcast_to(o[-1:], (fill, 3))])
+                d = np.concatenate([d, np.broadcast_to(d[-1:], (fill, 3))])
+            oks.append(np.asarray(self._block_ok_fn(jnp.asarray(o), jnp.asarray(d))))
+        return np.concatenate(oks)[: n // vp.RB]
+
+    def _coherence_order(self, epoch: RayEpoch):
+        """Morton-order rays into RB-blocks; re-form blocks whose spread
+        violates the kernel box as 16 real rays duplicated 4x (duplicates
+        loss-masked) — halves the angular spread so wide-FOV / low-res
+        scenes keep training through the kernel path.  Returns reordered
+        epoch arrays + the per-ray loss mask."""
+        order = vp.morton_order(epoch.px, epoch.py, epoch.img)
+        nb = order.shape[0] // vp.RB
+        head, tail = order[: nb * vp.RB], order[nb * vp.RB:]
+        ok = self._block_ok(epoch.origins[head], epoch.dirs[head])
+        blocks = head.reshape(nb, vp.RB)
+        good = blocks[ok].reshape(-1)
+        bad = blocks[~ok].reshape(-1)
+        q = vp.RB // 4
+        exp = np.repeat(bad.reshape(-1, q), 4, axis=1).reshape(-1)
+        exp_mask = np.zeros((bad.shape[0] // q, q, 4), np.float32)
+        exp_mask[:, :, 0] = 1.0
+        idx = np.concatenate([good, exp, tail])
+        mask = np.concatenate([
+            np.ones(good.shape[0], np.float32),
+            exp_mask.reshape(-1),
+            np.ones(tail.shape[0], np.float32),
+        ])
+        # shuffle block order for SGD diversity (tail stays last, it pads)
+        nbl = good.shape[0] // vp.RB + exp.shape[0] // vp.RB
+        perm = np.random.default_rng(self.cfg.seed).permutation(nbl)
+        body = idx[: nbl * vp.RB].reshape(nbl, vp.RB)[perm].reshape(-1)
+        mbody = mask[: nbl * vp.RB].reshape(nbl, vp.RB)[perm].reshape(-1)
+        return (
+            np.concatenate([body, idx[nbl * vp.RB:]]),
+            np.concatenate([mbody, mask[nbl * vp.RB:]]),
+        )
+
     def run_epoch_rays(self, epoch: RayEpoch):
         cfg = self.cfg
+        ray_mask = None
+        if cfg.use_kernel and epoch.px is not None:
+            order, ray_mask = self._coherence_order(epoch)
+            epoch = epoch._replace(
+                origins=epoch.origins[order], dirs=epoch.dirs[order],
+                rgb=epoch.rgb[order], leaf_id=epoch.leaf_id[order],
+            )
         B, K = cfg.batch_size, cfg.steps_per_chunk
         n = epoch.origins.shape[0]
         n_pad = pad_to_multiple(max(n, 1), B * K)
@@ -206,13 +297,16 @@ class PlenoxelsTrainer:
         rgb = pad(epoch.rgb)
         leaf = pad(epoch.leaf_id.astype(np.int32))
         mask = np.zeros(n_pad, np.float32)
-        mask[:n] = 1.0
+        mask[:n] = 1.0 if ray_mask is None else ray_mask
 
         leaf_buf = _leaf_buf_size(epoch.n_leaves)
         chunk_fn = self._chunk_fn(leaf_buf)
         rep = replicated(self.mesh)
         err_buf = jax.device_put((jnp.zeros((leaf_buf,)), jnp.zeros((leaf_buf,))), rep)
-        data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        data_sh = (
+            replicated(self.mesh) if cfg.use_kernel
+            else NamedSharding(self.mesh, P(None, DATA_AXIS))
+        )
 
         mses = []
         for ci in range(n_pad // (B * K)):
@@ -293,31 +387,73 @@ class PlenoxelsTrainer:
         )
         self._chunk_fns.clear()
 
-    def render_image(self, H, W, K, c2w, chunk: int = 4096):
+    def render_image(self, H, W, K, c2w, chunk: int = 4096,
+                     use_kernel: Optional[bool] = None):
         from flnerf_tpu.rays.camera import get_rays
 
         gcfg = self.gcfg
+        use_kernel = self.cfg.use_kernel if use_kernel is None else use_kernel
         if not hasattr(self, "_eval_fn") or self._eval_cfg != gcfg:
             @jax.jit
             def eval_fn(grid, ro, rd):
                 return voxel_render_rays(grid, ro, rd, gcfg)["rgb"]
 
+            @jax.jit
+            def eval_kernel_fn(grid, ro, rd):
+                out = vp.voxel_render_rays_fast(grid, ro, rd, gcfg)
+                return out["rgb"], out["ok"]
+
             self._eval_fn = eval_fn
+            self._eval_kernel_fn = eval_kernel_fn
             self._eval_cfg = gcfg
 
         rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
-        ro = rays_o.reshape(-1, 3)
-        rd = rays_d.reshape(-1, 3)
+        ro = np.asarray(rays_o.reshape(-1, 3))
+        rd = np.asarray(rays_d.reshape(-1, 3))
         n = ro.shape[0]
+
+        order = None
+        if use_kernel:
+            # image tiles: morton order makes every 64-ray block a tile
+            yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+            order = vp.morton_order(
+                xx.reshape(-1), yy.reshape(-1), np.zeros(n, np.int64))
+            ro, rd = ro[order], rd[order]
+
+        chunk = pad_to_multiple(chunk, vp.RB)
         n_pad = pad_to_multiple(n, chunk)
         if n_pad != n:
-            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (n_pad - n, 3))])
-            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (n_pad - n, 3))])
-        outs = [
-            self._eval_fn(self.state.grid, ro[i : i + chunk], rd[i : i + chunk])
-            for i in range(0, n_pad, chunk)
-        ]
-        return np.asarray(jnp.concatenate(outs, 0)[:n].reshape(H, W, 3))
+            ro = np.concatenate([ro, np.broadcast_to(ro[-1:], (n_pad - n, 3))])
+            rd = np.concatenate([rd, np.broadcast_to(rd[-1:], (n_pad - n, 3))])
+
+        outs, oks = [], []
+        for i in range(0, n_pad, chunk):
+            if use_kernel:
+                rgb_i, ok_i = self._eval_kernel_fn(
+                    self.state.grid, jnp.asarray(ro[i:i + chunk]),
+                    jnp.asarray(rd[i:i + chunk]))
+                oks.append(np.repeat(np.asarray(ok_i), vp.RB))
+            else:
+                rgb_i = self._eval_fn(
+                    self.state.grid, jnp.asarray(ro[i:i + chunk]),
+                    jnp.asarray(rd[i:i + chunk]))
+            outs.append(rgb_i)
+        rgb = np.array(jnp.concatenate(outs, 0))[:n]
+
+        if use_kernel:
+            bad = ~np.concatenate(oks)[:n]
+            if bad.any():
+                # incoherent blocks (rare for image tiles): XLA twin fallback
+                idx = np.nonzero(bad)[0]
+                m = pad_to_multiple(len(idx), vp.RB)
+                sel = np.concatenate([idx, np.full(m - len(idx), idx[-1])])
+                fix = self._eval_fn(
+                    self.state.grid, jnp.asarray(ro[sel]), jnp.asarray(rd[sel]))
+                rgb[idx] = np.asarray(fix)[: len(idx)]
+            inv = np.empty_like(order)
+            inv[order] = np.arange(n)
+            rgb = rgb[inv]
+        return rgb.reshape(H, W, 3)
 
     def eval_images(self, poses, images, H, W, K, chunk: int = 4096):
         psnrs, ssims = [], []

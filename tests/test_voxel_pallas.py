@@ -120,3 +120,41 @@ def test_morton_order_coherence():
                 + (q[i:i+64].max() - q[i:i+64].min()))
         return np.mean(spans)
     assert mean_span(pxs, pys) < 0.5 * mean_span(px, py)
+
+
+@pytest.mark.slow
+def test_plenoxels_kernel_e2e_training_improves():
+    """Same shape as test_voxel_sh's e2e but through the Pallas fused path
+    (use_kernel=True; interpret mode on CPU)."""
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+    from flnerf_tpu.train.plenoxels_trainer import (
+        PlenoxelsTrainConfig,
+        PlenoxelsTrainer,
+    )
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=4, n_test=1, H=24, W=24)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr = i_split[0]
+    o = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[tr]], 0)
+    d = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[tr]], 0)
+    b = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
+
+    gcfg = VoxelGridConfig(
+        reso=(32, 32, 32), radius=(1.2, 1.2, 1.2), max_steps=96,
+        step_size=0.7, init_sigma=0.1, background_brightness=1.0,
+    )
+    tcfg = PlenoxelsTrainConfig(
+        n_epoch=2, batch_size=256, steps_per_chunk=2,
+        lr_sigma=1e1, lr_sh=1e-2, lr_sigma_delay_steps=0,
+        subdivide_every=1, subdivide_thres=0.05,
+        lambda_tv=1e-5, lambda_tv_sh=1e-3, use_kernel=True,
+    )
+    t = PlenoxelsTrainer(gcfg, tcfg)
+    p0, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=576)
+    t.fit(b, verbose=False)
+    p1, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=576)
+    assert p1 > p0 + 2.0, (p0, p1)
