@@ -1,21 +1,136 @@
 """LLFF forward-facing dataset loader (poses_bounds.npy convention).
 
-Parity target: nerf-ours/load_llff.py (load_llff_data:246+) — pose
-recentering, bd_factor rescale, spherify option, spiral render path, and
-the held-out-view selection; run_nerf.py:163-189 consumes it with
-llffhold-based test splits and NDC bounds.
+Parity target: nerf-ours/load_llff.py (load_llff_data at :246) and its pose
+tooling — recentering into the average-camera frame, bd_factor rescale, the
+spherified orbit variant, the spiral render path, and the nearest-to-mean
+held-out view; nerf-ours/run_nerf.py:163-189 consumes the result with
+llffhold test splits and NDC bounds.
 
-Differences from the reference implementation (intentional):
-  * image downsampling uses cv2 INTER_AREA directly instead of shelling out
-    to imagemagick `mogrify` (_minify); identical output resolution.
+This is a from-scratch implementation of those semantics (batched frame
+construction, loop-free paths); numeric behavior is pinned by the golden
+fixture test in tests/test_llff.py.
+
+Intentional differences from the reference implementation:
+  * image downsampling uses cv2 INTER_AREA instead of shelling out to
+    imagemagick ``mogrify`` (same output resolution);
+  * pose math is vectorized (no per-view / per-frame Python loops).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import numpy as np
+
+# The reference seeds the spherified "up" frame with this arbitrary
+# non-axis-aligned vector (any vector not parallel to `up` works; keeping
+# the same one keeps render orbits comparable across implementations).
+_FRAME_SEED = np.array([0.1, 0.2, 0.3])
+
+
+def _unit(v: np.ndarray, axis: int = -1) -> np.ndarray:
+    return v / np.linalg.norm(v, axis=axis, keepdims=True)
+
+
+def camera_frame(forward: np.ndarray, up_hint: np.ndarray,
+                 origin: np.ndarray) -> np.ndarray:
+    """[..., 3, 4] camera-to-world basis: columns (right, up, forward, origin).
+
+    Batched: all inputs broadcast over leading dims.  `up_hint` need not be
+    orthogonal to `forward`; it is re-orthogonalized.
+    """
+    fwd = _unit(forward)
+    right = _unit(np.cross(up_hint, fwd))
+    up = _unit(np.cross(fwd, right))
+    return np.stack([right, up, fwd, np.broadcast_to(origin, fwd.shape)], -1)
+
+
+def average_pose(poses: np.ndarray) -> np.ndarray:
+    """[3, 4] mean camera frame: mean origin, summed forward/up directions."""
+    return camera_frame(
+        poses[:, :3, 2].sum(0), poses[:, :3, 1].sum(0), poses[:, :3, 3].mean(0)
+    )
+
+
+def to_reference_frame(poses: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Express [N, 3, >=4] poses in the frame of a [3, 4] reference pose
+    (rigid inverse applied in closed form — no 4x4 padding round-trip)."""
+    r_inv = ref[:3, :3].T
+    rot = np.einsum("ij,njk->nik", r_inv, poses[:, :3, :3])
+    trans = np.einsum("ij,nj->ni", r_inv, poses[:, :3, 3] - ref[:3, 3])
+    out = poses.copy()
+    out[:, :3, :3] = rot
+    out[:, :3, 3] = trans
+    return out
+
+
+def spiral_path(anchor: np.ndarray, up: np.ndarray, radii: np.ndarray,
+                focus_depth: float, z_rate: float = 0.5, n_rot: int = 2,
+                n_frames: int = 120) -> np.ndarray:
+    """[N, 3, 5] look-at spiral around `anchor`, all frames at once.
+
+    Cameras orbit at per-axis `radii` (with z oscillating at `z_rate` x the
+    angular rate) and aim at the point `focus_depth` in front of the anchor.
+    """
+    theta = np.linspace(0.0, 2.0 * np.pi * n_rot, n_frames + 1)[:-1]
+    local = np.stack(
+        [np.cos(theta), -np.sin(theta), -np.sin(theta * z_rate),
+         np.ones_like(theta)], -1
+    ) * np.concatenate([radii, [1.0]])                         # [N, 4]
+    centers = local @ anchor[:3, :4].T                         # [N, 3]
+    target = anchor[:3, :4] @ np.array([0.0, 0.0, -focus_depth, 1.0])
+    frames = camera_frame(centers - target, up, centers)       # [N, 3, 4]
+    hwf = np.broadcast_to(anchor[:3, 4:5], (n_frames, 3, 1))
+    return np.concatenate([frames, hwf], -1)
+
+
+def nearest_ray_point(origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Least-squares point closest to all rays (the spherify focus).
+
+    Solves  (mean_i P_i) x = mean_i (P_i o_i)  with P_i = I - d_i d_i^T.
+    """
+    d = _unit(dirs.reshape(-1, 3))
+    o = origins.reshape(-1, 3)
+    proj = np.eye(3)[None] - d[:, :, None] * d[:, None, :]     # [N, 3, 3]
+    lhs = np.einsum("nij,njk->ik", proj.transpose(0, 2, 1), proj) / len(d)
+    rhs = np.einsum("nij,nj->i", proj.transpose(0, 2, 1),
+                    np.einsum("nij,nj->ni", proj, o)) / len(d)
+    return np.linalg.solve(lhs, rhs)
+
+
+def spherify_poses(poses: np.ndarray, bds: np.ndarray):
+    """Re-frame an inward-facing capture onto the unit sphere and build a
+    120-frame equatorial orbit (reference spherify_poses semantics)."""
+    focus = nearest_ray_point(poses[:, :3, 3], poses[:, :3, 2])
+    up = _unit((poses[:, :3, 3] - focus).mean(0))
+
+    # world frame whose +z is `up`, seeded like the reference
+    x_axis = _unit(np.cross(_FRAME_SEED, up))
+    y_axis = _unit(np.cross(up, x_axis))
+    world = np.stack([x_axis, y_axis, up, focus], 1)           # [3, 4]
+
+    reframed = to_reference_frame(poses[:, :3, :4], world)
+    scale = 1.0 / np.sqrt(np.mean(np.sum(reframed[:, :3, 3] ** 2, -1)))
+    reframed[:, :3, 3] *= scale
+    bds = bds * scale
+
+    # equatorial circle at the mean camera height
+    z_h = reframed[:, :3, 3].mean(0)[2]
+    r_circle = np.sqrt(max(1.0 - z_h ** 2, 0.0))
+    phi = np.linspace(0.0, 2.0 * np.pi, 120)
+    centers = np.stack(
+        [r_circle * np.cos(phi), r_circle * np.sin(phi),
+         np.full_like(phi, z_h)], -1
+    )
+    # +z hint reproduces the reference orbit's basis handedness
+    # (its right vector is forward x [0,0,-1])
+    orbit = camera_frame(centers, np.array([0.0, 0.0, 1.0]), centers)
+
+    hwf_n = np.broadcast_to(poses[0, :3, 4:5], orbit[:, :3, :1].shape)
+    orbit = np.concatenate([orbit, hwf_n], -1)
+    hwf_r = np.broadcast_to(poses[0, :3, 4:5], reframed[:, :3, :1].shape)
+    reframed = np.concatenate([reframed[:, :3, :4], hwf_r], -1)
+    return reframed, orbit, bds
 
 
 def _load_images(basedir: str, factor: int) -> np.ndarray:
@@ -23,14 +138,11 @@ def _load_images(basedir: str, factor: int) -> np.ndarray:
 
     imgdir = os.path.join(basedir, "images")
     if factor is not None and factor > 1:
-        for cand in (f"images_{factor}",):
-            if os.path.isdir(os.path.join(basedir, cand)):
-                imgdir = os.path.join(basedir, cand)
-                factor = 1
-                break
+        pre = os.path.join(basedir, f"images_{factor}")
+        if os.path.isdir(pre):
+            imgdir, factor = pre, 1
     files = sorted(
-        f
-        for f in os.listdir(imgdir)
+        f for f in os.listdir(imgdir)
         if f.lower().endswith(("jpg", "jpeg", "png"))
     )
     imgs = []
@@ -40,111 +152,10 @@ def _load_images(basedir: str, factor: int) -> np.ndarray:
             import cv2
 
             h, w = im.shape[:2]
-            im = cv2.resize(im, (w // factor, h // factor), interpolation=cv2.INTER_AREA)
+            im = cv2.resize(im, (w // factor, h // factor),
+                            interpolation=cv2.INTER_AREA)
         imgs.append(im[..., :3] / 255.0)
     return np.stack(imgs, 0).astype(np.float32)
-
-
-def _normalize(x):
-    return x / np.linalg.norm(x)
-
-
-def _viewmatrix(z, up, pos):
-    vec2 = _normalize(z)
-    vec1_avg = up
-    vec0 = _normalize(np.cross(vec1_avg, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
-
-
-def poses_avg(poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = _normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([_viewmatrix(vec2, up, center), hwf], 1)
-
-
-def recenter_poses(poses):
-    poses_ = poses.copy()
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    p34 = np.concatenate([poses[:, :3, :4], bottom], -2)
-    p34 = np.linalg.inv(c2w) @ p34
-    poses_[:, :3, :4] = p34[:, :3, :4]
-    return poses_
-
-
-def render_path_spiral(c2w, up, rads, focal, zdelta, zrate, rots, N):
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(
-            c2w[:3, :4],
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads,
-        )
-        z = _normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([_viewmatrix(z, up, c), hwf], 1))
-    return np.stack(render_poses, 0)
-
-
-def spherify_poses(poses, bds):
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
-
-    def min_line_dist(rays_o, rays_d):
-        A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -A_i @ rays_o
-        pt_mindist = np.squeeze(
-            -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0)) @ (b_i).mean(0)
-        )
-        return pt_mindist
-
-    pt_mindist = min_line_dist(rays_o, rays_d)
-    center = pt_mindist
-    up = (poses[:, :3, 3] - center).mean(0)
-
-    vec0 = _normalize(up)
-    vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = _normalize(np.cross(vec0, vec1))
-    pos = center
-    c2w = np.stack([vec1, vec2, vec0, pos], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
-
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad ** 2 - zh ** 2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up = np.array([0, 0, -1.0])
-        vec2 = _normalize(camorigin)
-        vec0 = _normalize(np.cross(vec2, up))
-        vec1 = _normalize(np.cross(vec2, vec0))
-        pos = camorigin
-        p = np.stack([vec0, vec1, vec2, pos], 1)
-        new_poses.append(p)
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1
-    )
-    poses_reset = np.concatenate(
-        [poses_reset[:, :3, :4], np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1
-    )
-    return poses_reset, new_poses, bds
 
 
 def load_llff_data(
@@ -156,58 +167,54 @@ def load_llff_data(
     path_zflat: bool = False,
 ):
     """Returns (images, poses [N,3,5], bds [N,2], render_poses, i_test)."""
-    poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
-    poses = poses_arr[:, :-2].reshape([-1, 3, 5]).transpose([1, 2, 0])
-    bds = poses_arr[:, -2:].transpose([1, 0])
+    raw = np.load(os.path.join(basedir, "poses_bounds.npy"))   # [N, 17]
+    n = raw.shape[0]
+    poses = raw[:, :15].reshape(n, 3, 5)
+    bds = raw[:, 15:17]
 
     imgs = _load_images(basedir, factor)
-    sh = imgs[0].shape
-    poses[:2, 4, :] = np.array(sh[:2]).reshape([2, 1])
-    poses[2, 4, :] = poses[2, 4, :] * 1.0 / (factor if factor else 1)
+    poses[:, 0, 4] = imgs.shape[1]
+    poses[:, 1, 4] = imgs.shape[2]
+    poses[:, 2, 4] /= factor if factor else 1
 
-    # [down right back] -> [right up back] column swap (LLFF convention)
-    poses = np.concatenate([poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1)
-    poses = np.moveaxis(poses, -1, 0).astype(np.float32)
-    bds = np.moveaxis(bds, -1, 0).astype(np.float32)
+    # LLFF stores [down, right, back] columns; convert to [right, up, back]
+    poses = np.concatenate(
+        [poses[:, :, 1:2], -poses[:, :, 0:1], poses[:, :, 2:]], axis=2
+    ).astype(np.float32)
+    bds = bds.astype(np.float32)
 
-    sc = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
-    poses[:, :3, 3] *= sc
-    bds *= sc
+    scale = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
+    poses[:, :3, 3] *= scale
+    bds = bds * scale
 
     if recenter:
-        poses = recenter_poses(poses)
+        avg = average_pose(poses)
+        poses = to_reference_frame(poses, avg)
 
     if spherify:
         poses, render_poses, bds = spherify_poses(poses, bds)
     else:
-        c2w = poses_avg(poses)
-        up = _normalize(poses[:, :3, 1].sum(0))
+        anchor = average_pose(poses)
+        anchor = np.concatenate([anchor, poses[0, :3, 4:5]], -1)
+        up = _unit(poses[:, :3, 1].sum(0))
 
-        close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
-        dt = 0.75
-        mean_dz = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
-        focal = mean_dz
-
-        zdelta = close_depth * 0.2
-        tt = poses[:, :3, 3]
-        rads = np.percentile(np.abs(tt), 90, 0)
-        c2w_path = c2w
-        N_views = 120
-        N_rots = 2
+        # focus plane from the harmonic blend of near/far (reference dt=.75)
+        near, far = bds.min() * 0.9, bds.max() * 5.0
+        blend = 0.75
+        focus = 1.0 / ((1.0 - blend) / near + blend / far)
+        radii = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+        n_rot, n_frames = 2, 120
         if path_zflat:
-            zloc = -close_depth * 0.1
-            c2w_path[:3, 3] = c2w_path[:3, 3] + zloc * c2w_path[:3, 2]
-            rads[2] = 0.0
-            N_rots = 1
-            N_views /= 2
-        render_poses = render_path_spiral(
-            c2w_path, up, rads, focal, zdelta, zrate=0.5, rots=N_rots, N=int(N_views)
+            anchor[:3, 3] -= near * 0.1 * anchor[:3, 2]
+            radii[2] = 0.0
+            n_rot, n_frames = 1, 60
+        render_poses = spiral_path(
+            anchor, up, radii, focus, z_rate=0.5, n_rot=n_rot,
+            n_frames=n_frames,
         )
 
-    render_poses = np.array(render_poses).astype(np.float32)
-
-    c2w = poses_avg(poses)
-    dists = np.sum(np.square(c2w[:3, 3] - poses[:, :3, 3]), -1)
-    i_test = int(np.argmin(dists))
-
+    render_poses = np.asarray(render_poses, np.float32)
+    avg = average_pose(poses)
+    i_test = int(np.argmin(
+        np.sum((poses[:, :3, 3] - avg[:3, 3]) ** 2, -1)))
     return imgs, poses, bds, render_poses, i_test
