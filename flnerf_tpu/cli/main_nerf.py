@@ -102,7 +102,9 @@ def load_ngp_dataset(args):
 def main(argv=None):
     import jax.numpy as jnp
 
-    from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
+    from flnerf_tpu.models.hash_ngp import (
+        NGPConfig, make_ngp_bg_fn, make_ngp_field,
+    )
     from flnerf_tpu.render.ngp import NGPRenderConfig
     from flnerf_tpu.train.ngp_trainer import NGPSampler, NGPTrainConfig, NGPTrainer
 
@@ -117,9 +119,11 @@ def main(argv=None):
     H, W, _ = hwf
     i_train, i_val, i_test = i_split
 
-    cfg = NGPConfig(bound=args.bound, desired_resolution=2048)
+    cfg = NGPConfig(bound=args.bound, desired_resolution=2048,
+                    bg_radius=max(args.bg_radius, 0.0))
     compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=compute_dtype)
+    bg_fn = make_ngp_bg_fn(cfg, compute_dtype=compute_dtype)
     rcfg = NGPRenderConfig(
         n_candidates=args.n_candidates, n_keep=args.n_keep,
         grid_size=args.grid_size, bound=args.bound, min_near=args.min_near,
@@ -131,7 +135,7 @@ def main(argv=None):
         use_error_map=args.error_map, ema_decay=0.95 if args.O else 0.0,
         bg_color=1.0, seed=args.seed,
     )
-    trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
+    trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg, bg_fn=bg_fn)
 
     if not args.test:
         sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg, seed=args.seed)

@@ -43,6 +43,12 @@ def parse_arguments(argv=None):
     group.add_argument("--step_size", type=float, default=0.5)
     group.add_argument("--sigma_thresh", type=float, default=1e-8)
     group.add_argument("--stop_thresh", type=float, default=1e-7)
+    group.add_argument("--renderer_backend", "--backend", type=str,
+                       default="cuvol", choices=("cuvol", "nvol", "svox1"),
+                       help="RenderOptions.backend (svox2.py:17)")
+    group.add_argument("--background_nlayers", type=int, default=0,
+                       help="MSI background layers (svox2.py:498-522)")
+    group.add_argument("--background_reso", type=int, default=512)
 
     group = parser.add_argument_group("optimization")
     group.add_argument("--n_iters", type=int, default=10 * 12800)
@@ -177,6 +183,9 @@ def main(argv=None):
         stop_thresh=args.stop_thresh,
         background_brightness=args.background_brightness,
         max_steps=int(3.5 * max(reso_schedule[0]) / args.step_size),
+        backend=args.renderer_backend,
+        background_nlayers=args.background_nlayers,
+        background_reso=args.background_reso,
     )
     # schedule grid upsampling across epochs if more resolutions are given
     n_up = len(reso_schedule) - 1

@@ -25,6 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from flnerf_tpu.ops.activations import trunc_exp
+from flnerf_tpu.ops.hash_encoding import (
+    hash_encode as hash_encode_nd,
+    init_hashgrid,
+    make_hashgrid_spec,
+)
 from flnerf_tpu.ops.hash_pallas import (
     PackedHashSpec,
     hash_encode_pallas,
@@ -56,11 +61,60 @@ class NGPConfig(NamedTuple):
     density_scale: float = 1.0
     hash_backend: str = "auto"      # 'pallas' | 'xla' | 'auto' (pallas on TPU)
     hash_chunk: int = 2048
+    # background model (ngp-ours/nerf/network.py:66-93: bg_radius > 0 turns
+    # on a 2D-hashgrid + tiny-MLP environment map fed by sph_from_ray)
+    bg_radius: float = 0.0
+    num_layers_bg: int = 2
+    hidden_dim_bg: int = 64
+    bg_levels: int = 4
+    bg_log2_hashmap_size: int = 15
+    bg_resolution: int = 2048
 
 
 def _linear_init_nobias(key, fan_in: int, fan_out: int) -> jnp.ndarray:
     bound = 1.0 / np.sqrt(fan_in)
     return jax.random.uniform(key, (fan_in, fan_out), jnp.float32, -bound, bound)
+
+
+def make_bg_spec(cfg: NGPConfig):
+    """2D background hashgrid spec (network.py:73: input_dim=2, 4 levels,
+    desired_resolution 2048)."""
+    return make_hashgrid_spec(
+        num_levels=cfg.bg_levels,
+        level_dim=cfg.level_dim,
+        base_resolution=cfg.base_resolution,
+        log2_hashmap_size=cfg.bg_log2_hashmap_size,
+        desired_resolution=cfg.bg_resolution,
+        input_dim=2,
+    )
+
+
+def sph_from_ray(rays_o, rays_d, radius: float):
+    """Ray ∩ sphere(radius) -> [N, 2] (theta, phi) in [-1, 1]
+    (raymarching.cu:163-199 kernel_sph_from_ray; y is the up axis)."""
+    a = jnp.sum(rays_d * rays_d, -1)
+    b = jnp.sum(rays_o * rays_d, -1)
+    c = jnp.sum(rays_o * rays_o, -1) - radius * radius
+    disc = jnp.maximum(b * b - a * c, 0.0)
+    t = (-b + jnp.sqrt(disc)) / a
+    p = rays_o + t[..., None] * rays_d
+    theta = jnp.arctan2(jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2), p[..., 1])
+    phi = jnp.arctan2(p[..., 2], p[..., 0])
+    return jnp.stack([2.0 * theta / jnp.pi - 1.0, phi / jnp.pi], -1)
+
+
+def ngp_background(params: Params, rays_o, rays_d, cfg: NGPConfig,
+                   compute_dtype=jnp.bfloat16):
+    """Per-ray background rgb via the 2D hashgrid env map
+    (network.py:145-160 background()).  rays_d must be unit."""
+    spec = make_bg_spec(cfg)
+    sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+    x01 = jnp.clip((sph + 1.0) * 0.5, 0.0, 1.0)
+    enc = hash_encode_nd(x01.reshape(-1, 2), params["bg_table"], spec)
+    d_enc = sh_encode(rays_d.reshape(-1, 3), cfg.sh_degree)
+    h = jnp.concatenate([d_enc, enc], axis=-1)
+    h = _mlp(h, params["bg_net"], compute_dtype)
+    return jax.nn.sigmoid(h).reshape(rays_o.shape[:-1] + (3,))
 
 
 def make_ngp_spec(cfg: NGPConfig) -> PackedHashSpec:
@@ -103,6 +157,18 @@ def init_ngp(key, cfg: NGPConfig) -> Params:
         )
         in_dim = out_dim
     params["color_net"] = color_net
+
+    if cfg.bg_radius > 0:
+        bg_spec = make_bg_spec(cfg)
+        kb = jax.random.split(keys[-1], 1 + cfg.num_layers_bg)
+        params["bg_table"] = init_hashgrid(kb[0], bg_spec)
+        in_dim = bg_spec.output_dim + cfg.sh_degree ** 2
+        bg_net = []
+        for l in range(cfg.num_layers_bg):
+            out_dim = 3 if l == cfg.num_layers_bg - 1 else cfg.hidden_dim_bg
+            bg_net.append(_linear_init_nobias(kb[1 + l], in_dim, out_dim))
+            in_dim = out_dim
+        params["bg_net"] = bg_net
     return params
 
 
@@ -162,3 +228,15 @@ def make_ngp_field(cfg: NGPConfig, compute_dtype=jnp.bfloat16):
         return ngp_color(params, d, geo_feat, cfg, compute_dtype)
 
     return init_fn, density_fn, rgb_fn
+
+
+def make_ngp_bg_fn(cfg: NGPConfig, compute_dtype=jnp.bfloat16):
+    """bg_fn(params, rays_o, rays_d) -> [N, 3], or None when bg_radius==0
+    (renderer.py:232-235: the bg model replaces any fixed bg_color)."""
+    if cfg.bg_radius <= 0:
+        return None
+
+    def bg_fn(params, rays_o, rays_d):
+        return ngp_background(params, rays_o, rays_d, cfg, compute_dtype)
+
+    return bg_fn

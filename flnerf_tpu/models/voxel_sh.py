@@ -47,22 +47,41 @@ class VoxelGridConfig(NamedTuple):
     background_brightness: float = 1.0
     near_clip: float = 0.0
     max_steps: int = 512            # static marching budget
+    # RenderOptions.backend (svox2.py:17): 'cuvol' (trilerp, log-transmit),
+    # 'nvol' (Neural-Volumes alpha sum, render_lerp_kernel_nvol.cu:31-106),
+    # 'svox1' (nearest-neighbor voxel DDA, render_svox1_kernel.cu:51-160)
+    backend: str = "cuvol"
+    # MSI cubemap-ish background (svox2.py:498-522: equirect x nlayers
+    # concentric spheres); 0 disables
+    background_nlayers: int = 0
+    background_reso: int = 512
 
 
 class VoxelGrid(NamedTuple):
-    """Trainable state (a pytree): dense density + SH data (+ alive mask)."""
+    """Trainable state (a pytree): dense density + SH data (+ alive mask).
+
+    ``background`` is the optional MSI background: [2R, R, nlayers, 4]
+    equirect (lon x lat) x concentric layers x (rgb, sigma) — the dense
+    analog of svox2's background_links/background_data (svox2.py:498-522).
+    """
 
     density: jnp.ndarray   # [X, Y, Z] f32 (raw sigma)
     sh: jnp.ndarray        # [X, Y, Z, 3*basis_dim] f32
     alive: jnp.ndarray     # [X, Y, Z] bool — pruning mask (not trained)
+    background: Optional[jnp.ndarray] = None
 
 
 def init_voxel_grid(cfg: VoxelGridConfig) -> VoxelGrid:
     x, y, z = cfg.reso
+    bg = None
+    if cfg.background_nlayers > 0:
+        r = cfg.background_reso
+        bg = jnp.zeros((2 * r, r, cfg.background_nlayers, 4), jnp.float32)
     return VoxelGrid(
         density=jnp.full((x, y, z), cfg.init_sigma, jnp.float32),
         sh=jnp.zeros((x, y, z, 3 * cfg.basis_dim), jnp.float32),
         alive=jnp.ones((x, y, z), bool),
+        background=bg,
     )
 
 
@@ -130,7 +149,11 @@ def voxel_render_rays(
     cfg: VoxelGridConfig,
 ):
     """Volume-render [N] rays against the grid (svox2.py:659-780 math,
-    vectorized over a static max_steps sample budget)."""
+    vectorized over a static max_steps sample budget).  cfg.backend picks
+    the cuvol (trilerp), nvol (alpha-sum) or svox1 (nearest-neighbor DDA)
+    RenderOptions variant."""
+    if cfg.backend == "svox1":
+        return _svox1_render(grid, rays_o, rays_d, cfg)
     n = rays_o.shape[0]
     origins = world2grid(cfg, rays_o)
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -165,12 +188,22 @@ def voxel_render_rays(
     sigma = jnp.where(valid, jax.nn.relu(sigma), 0.0)
     sigma = jnp.where(sigma >= cfg.sigma_thresh, sigma, 0.0)
 
-    log_att = -cfg.step_size * sigma * delta_scale[:, None]          # [N, S]
-    # transmittance entering each sample
-    log_T = jnp.concatenate(
-        [jnp.zeros((n, 1)), jnp.cumsum(log_att[:, :-1], -1)], -1
-    )
-    weights = jnp.exp(log_T) * (1.0 - jnp.exp(log_att))              # [N, S]
+    if cfg.backend == "nvol":
+        # Neural-Volumes parameterization (render_lerp_kernel_nvol.cu:88-96):
+        # alphas SUM (clamped at 1) instead of multiplying transmittances.
+        a = 1.0 - jnp.exp(-cfg.step_size * sigma * delta_scale[:, None])
+        total = jnp.clip(jnp.cumsum(a, -1), 0.0, 1.0)               # [N, S]
+        prev = jnp.concatenate([jnp.zeros((n, 1)), total[:, :-1]], -1)
+        weights = total - prev
+        remaining = 1.0 - total[:, -1]
+    else:  # cuvol
+        log_att = -cfg.step_size * sigma * delta_scale[:, None]      # [N, S]
+        # transmittance entering each sample
+        log_T = jnp.concatenate(
+            [jnp.zeros((n, 1)), jnp.cumsum(log_att[:, :-1], -1)], -1
+        )
+        weights = jnp.exp(log_T) * (1.0 - jnp.exp(log_att))          # [N, S]
+        remaining = jnp.exp(jnp.sum(log_att, -1))
 
     rgb_sh = shv.reshape(n, s, 3, cfg.basis_dim)
     rgb = jnp.clip(
@@ -178,10 +211,174 @@ def voxel_render_rays(
     )                                                                 # [N, S, 3]
 
     out_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
-    T_final = jnp.exp(jnp.sum(log_att, -1))
-    out_rgb = out_rgb + T_final[..., None] * cfg.background_brightness
+    if grid.background is not None and cfg.background_nlayers > 0:
+        world_step = cfg.step_size * delta_scale
+        bg_rgb, bg_remaining = msi_background(
+            grid.background, rays_o, viewdirs, remaining, world_step, cfg
+        )
+        out_rgb = out_rgb + bg_rgb
+        out_rgb = out_rgb + bg_remaining[..., None] * cfg.background_brightness
+    else:
+        out_rgb = out_rgb + remaining[..., None] * cfg.background_brightness
     depth = jnp.sum(weights * ts, -1)
-    return {"rgb": out_rgb, "depth": depth, "acc": 1.0 - T_final, "weights": weights}
+    return {"rgb": out_rgb, "depth": depth, "acc": 1.0 - remaining, "weights": weights}
+
+
+def _svox1_render(grid: VoxelGrid, rays_o, rays_d, cfg: VoxelGridConfig):
+    """Nearest-neighbor voxel rendering (render_svox1_kernel.cu:51-160):
+    PlenOctree-style DDA that steps voxel boundary to voxel boundary with
+    piecewise-constant density/SH.  A lax.scan carries (t, log-transmit);
+    early-stop renormalizes by 1/(1-T) like the reference (:138-146)."""
+    n = rays_o.shape[0]
+    origins = world2grid(cfg, rays_o) + 0.5     # nn-vs-lerp offset (cu:76)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    sh_mult = sh_encode(viewdirs, degree=int(np.sqrt(cfg.basis_dim)))
+
+    dirs = viewdirs * grid_scaling(cfg)
+    delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
+    dirs = dirs * delta_scale[..., None]
+    gsz = jnp.asarray(cfg.reso, jnp.float32)
+
+    zero_dir = dirs == 0.0
+    invdir = jnp.where(zero_dir, 1e9, 1.0 / jnp.where(zero_dir, 1.0, dirs))
+    t1 = (0.0 - origins) * invdir
+    t2 = (gsz - 1.0 - origins) * invdir
+    t0 = jnp.maximum(jnp.minimum(t1, t2).max(-1), 0.0)
+    tmax = jnp.maximum(t1, t2).min(-1)
+    miss = t0 > tmax
+
+    density = jnp.where(grid.alive, grid.density, 0.0)
+    sh = jnp.where(grid.alive[..., None], grid.sh, 0.0)
+    reso_i = jnp.asarray(cfg.reso, jnp.int32)
+
+    def body(carry, _):
+        t, logT, rgb_acc, depth_acc, stop_scale, stopped = carry
+        pos = jnp.clip(origins + t[:, None] * dirs, 0.0, gsz - 1.0)
+        l = jnp.minimum(jnp.floor(pos).astype(jnp.int32), reso_i - 1)
+        frac = pos - l
+
+        # exit of the unit cell (cu:34-48 _intersect_aabb_unit, +1e-2)
+        e1 = (0.0 - frac) * invdir
+        e2 = (1.0 - frac) * invdir
+        exit_t = jnp.where(zero_dir, 1e9, jnp.maximum(e1, e2)).min(-1)
+        delta = exit_t + 1e-2
+
+        alive_v = grid.alive[l[:, 0], l[:, 1], l[:, 2]]
+        sigma = density[l[:, 0], l[:, 1], l[:, 2]]
+        active = jnp.logical_and(~stopped, jnp.logical_and(t <= tmax, ~miss))
+        contributing = active & alive_v & (sigma > cfg.sigma_thresh)
+
+        log_tr = jnp.where(contributing, -delta * delta_scale * sigma, 0.0)
+        T = jnp.exp(logT)
+        w = jnp.where(contributing, T * (1.0 - jnp.exp(log_tr)), 0.0)
+
+        shv = sh[l[:, 0], l[:, 1], l[:, 2]].reshape(n, 3, cfg.basis_dim)
+        rgb_v = jnp.clip(jnp.sum(sh_mult[:, None, :] * shv, -1) + 0.5, 0.0, None)
+        rgb_acc = rgb_acc + w[:, None] * rgb_v
+        depth_acc = depth_acc + w * t
+
+        new_logT = logT + log_tr
+        # reference stop: T (entering this sample) <= stop_thresh ->
+        # renormalize output by 1/(1-T) and return without background
+        newly = contributing & (T <= cfg.stop_thresh) & ~stopped
+        stop_scale = jnp.where(newly, 1.0 / jnp.maximum(1.0 - T, 1e-9),
+                               stop_scale)
+        stopped = stopped | newly
+        t = jnp.where(active, t + delta, t)
+        return (t, new_logT, rgb_acc, depth_acc, stop_scale, stopped), None
+
+    init = (
+        t0,
+        jnp.zeros(n),
+        jnp.zeros((n, 3)),
+        jnp.zeros(n),
+        jnp.ones(n),
+        jnp.zeros(n, bool),
+    )
+    (t, logT, rgb_acc, depth_acc, stop_scale, stopped), _ = jax.lax.scan(
+        body, init, None, length=cfg.max_steps
+    )
+    bg = jnp.where(stopped, 0.0, jnp.exp(logT)) * cfg.background_brightness
+    out_rgb = rgb_acc * stop_scale[:, None] + bg[:, None]
+    acc = jnp.where(stopped, 1.0, 1.0 - jnp.exp(logT))
+    return {"rgb": out_rgb, "depth": depth_acc, "acc": acc}
+
+
+def msi_background(bg, rays_o, viewdirs, remaining, world_step, cfg):
+    """Multi-sphere-image background (render_lerp_kernel_cuvol.cu:385-475).
+
+    bg [2R, R, L, 4] equirect layers (rgb, sigma); rays in world space with
+    unit viewdirs; ``remaining`` = transmittance leaving the grid.  Returns
+    (rgb [N, 3], transmittance after the background).
+    """
+    two_r, r, nlayers, _ = bg.shape
+    n = rays_o.shape[0]
+    n_steps = int(nlayers / cfg.step_size) + 2
+
+    # concentric-sphere intersections: solve |o + t d| = r_i (far root)
+    q2a = 2.0 * jnp.sum(viewdirs * viewdirs, -1)                    # [N]
+    qb = 2.0 * jnp.sum(rays_o * viewdirs, -1)
+    f = qb * qb - 2.0 * q2a * jnp.sum(rays_o * rays_o, -1)
+    inner_radius = jnp.maximum(
+        jnp.linalg.norm(jnp.cross(rays_o, viewdirs), axis=-1) + 1e-3, 1.0
+    )                                                               # [N]
+
+    i = jnp.arange(n_steps, dtype=jnp.float32)
+    radii = n_steps / (n_steps - i - 0.5)                           # [S]
+    det = f[:, None] + 2.0 * q2a[:, None] * radii[None, :] ** 2
+    hit = (det >= 0) & (radii[None, :] >= inner_radius[:, None])
+    t = (-qb[:, None] + jnp.sqrt(jnp.maximum(det, 0.0))) / q2a[:, None]
+
+    p = rays_o[:, None, :] + t[..., None] * viewdirs[:, None, :]    # [N, S, 3]
+    invr_mid = 1.0 / jnp.linalg.norm(p, axis=-1)                    # [N, S]
+    u = p * invr_mid[..., None]
+    # _unitvec2equirect (render_util.cuh:482-490)
+    lat = jnp.arcsin(jnp.clip(u[..., 1], -1.0, 1.0))
+    lon = jnp.arctan2(u[..., 0], u[..., 2])
+    x = 2 * r * (0.5 + lon * 0.5 / jnp.pi)
+    y = r * (0.5 - lat / jnp.pi)
+    z = jnp.clip((1.0 - invr_mid) * nlayers - 0.5, 0.0, nlayers - 1.0)
+
+    lx = jnp.minimum(jnp.floor(x).astype(jnp.int32), 2 * r - 1)
+    ly = jnp.minimum(jnp.floor(y).astype(jnp.int32), r - 1)
+    lz = jnp.minimum(jnp.floor(z).astype(jnp.int32), nlayers - 2)
+    fx, fy, fz = x - lx, y - ly, z - lz
+    # longitude wraps; the reference also wraps the last latitude row
+    nx = jnp.where(lx < 2 * r - 1, lx + 1, 0)
+    ny = jnp.where(ly < r - 1, ly + 1, 0)
+
+    def fetch(ix, iy):
+        v0 = bg[ix, iy, lz]                                         # [N, S, 4]
+        v1 = bg[ix, iy, jnp.minimum(lz + 1, nlayers - 1)]
+        return v0 + (v1 - v0) * fz[..., None]
+
+    v00 = fetch(lx, ly)
+    v01 = fetch(lx, ny)
+    v10 = fetch(nx, ly)
+    v11 = fetch(nx, ny)
+    v0 = v00 + (v01 - v00) * fy[..., None]
+    v1 = v10 + (v11 - v10) * fy[..., None]
+    val = v0 + (v1 - v0) * fx[..., None]                            # [N, S, 4]
+
+    sigma = jnp.where(hit, val[..., 3], 0.0)
+    sigma = jnp.where(sigma > 0.0, sigma, 0.0)
+    # pcnt = (invr_last - invr_mid) * world_step * sigma.  Misses only occur
+    # before the first hit (radii grow monotonically), so carrying
+    # 1/inner_radius through them reproduces the reference's invr_last chain.
+    invr_safe = jnp.where(hit, invr_mid, 1.0 / inner_radius[:, None])
+    invr_last = jnp.concatenate(
+        [1.0 / inner_radius[:, None], invr_safe[:, :-1]], -1
+    )
+    pcnt = jnp.where(hit, (invr_last - invr_mid), 0.0) * world_step[:, None] * sigma
+    log_T = jnp.concatenate(
+        [jnp.zeros((n, 1)), jnp.cumsum(pcnt[:, :-1], -1)], -1
+    )
+    wgt = remaining[:, None] * jnp.exp(-log_T) * (1.0 - jnp.exp(-pcnt))
+    c0 = 0.28209479177387814  # SH DC factor (render kernel's C0 scaling)
+    rgb = jnp.clip(val[..., :3] * c0 + 0.5, 0.0, None)
+    out = jnp.sum(wgt[..., None] * rgb, -2)
+    t_after = remaining * jnp.exp(-jnp.sum(pcnt, -1))
+    return out, t_after
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +438,15 @@ def save_npz(path: str, grid: VoxelGrid, cfg: VoxelGridConfig) -> None:
     links[alive] = np.arange(n_alive, dtype=np.int32)
     density_data = np.asarray(grid.density)[alive][:, None].astype(np.float32)
     sh_data = np.asarray(grid.sh)[alive].astype(np.float16)
+    extra = {}
+    if grid.background is not None:
+        # svox2.py:1531-1558 saves background_links [2R, R] + background_data
+        # [cap, nlayers, 4]; our dense bg flattens to that layout exactly
+        two_r, r, nlayers, _ = grid.background.shape
+        extra["background_links"] = np.arange(
+            two_r * r, dtype=np.int32).reshape(two_r, r)
+        extra["background_data"] = np.asarray(
+            grid.background).reshape(two_r * r, nlayers, 4).astype(np.float16)
     np.savez(
         path,
         radius=np.asarray(cfg.radius, np.float32),
@@ -249,6 +455,7 @@ def save_npz(path: str, grid: VoxelGrid, cfg: VoxelGridConfig) -> None:
         density_data=density_data,
         sh_data=sh_data,
         basis_type=1,  # BASIS_TYPE_SH
+        **extra,
     )
 
 
@@ -261,6 +468,16 @@ def load_npz(path: str) -> Tuple[VoxelGrid, VoxelGridConfig]:
     sh = np.zeros(links.shape + (z["sh_data"].shape[-1],), np.float32)
     density[alive] = z["density_data"][:, 0][links[alive]]
     sh[alive] = z["sh_data"].astype(np.float32)[links[alive]]
+    background = None
+    bg_nlayers, bg_reso = 0, 512
+    if "background_data" in z and z["background_data"].size:
+        bl = z["background_links"]
+        bd = z["background_data"].astype(np.float32)
+        two_r, r = bl.shape
+        background = np.zeros((two_r, r) + bd.shape[1:], np.float32)
+        ok = bl >= 0
+        background[ok] = bd[bl[ok]]
+        bg_nlayers, bg_reso = bd.shape[1], r
     cfg = VoxelGridConfig(
         reso=tuple(int(v) for v in links.shape),
         basis_dim=sh.shape[-1] // 3,
@@ -268,8 +485,13 @@ def load_npz(path: str) -> Tuple[VoxelGrid, VoxelGridConfig]:
         if np.atleast_1d(z["radius"]).size >= 3
         else (float(z["radius"]),) * 3,
         center=tuple(float(v) for v in np.atleast_1d(z["center"])[:3]),
+        background_nlayers=bg_nlayers,
+        background_reso=bg_reso,
     )
     return (
-        VoxelGrid(jnp.asarray(density), jnp.asarray(sh), jnp.asarray(alive)),
+        VoxelGrid(
+            jnp.asarray(density), jnp.asarray(sh), jnp.asarray(alive),
+            jnp.asarray(background) if background is not None else None,
+        ),
         cfg,
     )

@@ -36,6 +36,7 @@ class HashGridSpec(NamedTuple):
     base_resolution: int
     log2_hashmap_size: int
     per_level_scale: float
+    input_dim: int
     # derived (numpy, static):
     scales: np.ndarray        # [L] float32
     resolutions: np.ndarray   # [L] int32
@@ -59,6 +60,7 @@ def make_hashgrid_spec(
     log2_hashmap_size: int = 19,
     per_level_scale: float | None = None,
     desired_resolution: int | None = 2048,
+    input_dim: int = 3,
 ) -> HashGridSpec:
     if desired_resolution is not None:
         per_level_scale = float(
@@ -73,7 +75,7 @@ def make_hashgrid_spec(
         scale = np.exp2(l * S) * base_resolution - 1.0
         res = int(np.ceil(scale)) + 1
         # CUDA get_grid_index strides by (resolution+1) for align_corners=False
-        dense = (res + 1) ** 3
+        dense = (res + 1) ** input_dim
         params = min(max_params, dense)
         params = int(np.ceil(params / 8) * 8)
         scales.append(scale)
@@ -88,6 +90,7 @@ def make_hashgrid_spec(
         base_resolution=base_resolution,
         log2_hashmap_size=log2_hashmap_size,
         per_level_scale=float(per_level_scale),
+        input_dim=input_dim,
         scales=np.asarray(scales, np.float32),
         resolutions=np.asarray(resolutions, np.int32),
         offsets=np.asarray(offsets, np.int64),
@@ -106,25 +109,29 @@ def init_hashgrid(key, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
 def _corner_index(pos_grid, use_hash, resolution, size):
     """uint32 table index of one corner (get_grid_index, gridencoder.cu:55-70).
 
-    pos_grid: [..., 3] int32 corner coordinates.
+    pos_grid: [..., D] int32 corner coordinates (D = 2 or 3).
     """
+    d = pos_grid.shape[-1]
     pg = pos_grid.astype(jnp.uint32)
     stride = resolution.astype(jnp.uint32) + jnp.uint32(1)  # align_corners=False
-    dense_idx = pg[..., 0] + stride * (pg[..., 1] + stride * pg[..., 2])
-    hash_idx = (
-        pg[..., 0] * _PRIMES[0] ^ pg[..., 1] * _PRIMES[1] ^ pg[..., 2] * _PRIMES[2]
-    )
+    dense_idx = pg[..., d - 1]
+    for a in range(d - 2, -1, -1):
+        dense_idx = pg[..., a] + stride * dense_idx
+    hash_idx = pg[..., 0] * _PRIMES[0]
+    for a in range(1, d):
+        hash_idx = hash_idx ^ pg[..., a] * _PRIMES[a]
     idx = jnp.where(use_hash, hash_idx, dense_idx)
     return (idx % size.astype(jnp.uint32)).astype(jnp.int32)
 
 
 def hash_encode(x01: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
-    """Encode points x01 in [0, 1]^3 -> [N, L*C] features.
+    """Encode points x01 in [0, 1]^D -> [N, L*C] features (D = 2 or 3).
 
     Matches the CUDA forward (kernel_grid, gridencoder.cu:100-180) including
-    the +0.5 offset and per-corner trilinear weights.
+    the +0.5 offset and per-corner d-linear weights.
     """
     n = x01.shape[0]
+    dim = spec.input_dim
     L, C = spec.num_levels, spec.level_dim
     scales = jnp.asarray(spec.scales)                    # [L]
     resolutions = jnp.asarray(spec.resolutions)          # [L]
@@ -132,16 +139,17 @@ def hash_encode(x01: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp
     sizes = jnp.asarray(spec.sizes, jnp.int32)           # [L]
     use_hash = jnp.asarray(spec.use_hash)                # [L]
 
-    # [L, N, 3] continuous positions per level
+    # [L, N, D] continuous positions per level
     pos = x01[None, :, :] * scales[:, None, None] + 0.5
     pos_grid = jnp.floor(pos)
     frac = pos - pos_grid
     pos_grid = pos_grid.astype(jnp.int32)
 
-    # 8 corners: bitmask over 3 dims
+    # 2^D corners: bitmask over dims
     corners = jnp.asarray(
-        [[(c >> d) & 1 for d in range(3)] for c in range(8)], jnp.int32
-    )  # [8, 3]
+        [[(c >> d) & 1 for d in range(dim)] for c in range(2 ** dim)],
+        jnp.int32,
+    )  # [2^D, D]
 
     def one_corner(corner):
         pg = pos_grid + corner[None, None, :]                    # [L, N, 3]
@@ -155,7 +163,7 @@ def hash_encode(x01: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp
         return w[..., None] * feat
 
     out = jnp.zeros((L, n, C), table.dtype)
-    for c in range(8):
+    for c in range(2 ** dim):
         out = out + one_corner(corners[c])
 
     # [L, N, C] -> [N, L*C] (grid.py:52 permutes back the L-first layout)
@@ -170,6 +178,7 @@ def hash_encode_reference(x01: np.ndarray, table: np.ndarray, spec: HashGridSpec
     """
     np.seterr(over="ignore")
     n = x01.shape[0]
+    dim = spec.input_dim
     out = np.zeros((n, spec.num_levels, spec.level_dim), np.float64)
     for l in range(spec.num_levels):
         scale = float(spec.scales[l])
@@ -182,27 +191,25 @@ def hash_encode_reference(x01: np.ndarray, table: np.ndarray, spec: HashGridSpec
             pg = np.floor(pos).astype(np.int64)
             f = pos - pg
             acc = np.zeros(spec.level_dim, np.float64)
-            for c in range(8):
-                bits = [(c >> d) & 1 for d in range(3)]
+            for c in range(2 ** dim):
+                bits = [(c >> d) & 1 for d in range(dim)]
                 w = 1.0
                 pl = pg.copy()
-                for d in range(3):
+                for d in range(dim):
                     if bits[d]:
                         w *= f[d]
                         pl[d] += 1
                     else:
                         w *= 1.0 - f[d]
                 if uh:
-                    idx = (
-                        np.uint32(pl[0]) * _PRIMES[0]
-                        ^ np.uint32(pl[1]) * _PRIMES[1]
-                        ^ np.uint32(pl[2]) * _PRIMES[2]
-                    )
+                    idx = np.uint32(pl[0]) * _PRIMES[0]
+                    for d in range(1, dim):
+                        idx = idx ^ np.uint32(pl[d]) * _PRIMES[d]
                 else:
                     stride = np.uint32(res + 1)
-                    idx = np.uint32(pl[0]) + stride * (
-                        np.uint32(pl[1]) + stride * np.uint32(pl[2])
-                    )
+                    idx = np.uint32(pl[dim - 1])
+                    for d in range(dim - 2, -1, -1):
+                        idx = np.uint32(pl[d]) + stride * idx
                 acc += w * table[off + int(idx % np.uint32(size))]
             out[i, l] = acc
     return out.reshape(n, -1).astype(np.float32)

@@ -184,8 +184,13 @@ def ngp_render_rays(
     perturb: bool = True,
     bg_color=None,
     times: Optional[jnp.ndarray] = None,
+    bg_fn: Optional[Callable] = None,
 ):
     """Render [N] rays (unit rays_d). Returns dict(rgb, depth, acc).
+
+    ``bg_fn(params, rays_o, rays_d) -> [N, 3]`` enables the learned
+    environment-map background (renderer.py:232-235: bg model overrides any
+    bg_color).
 
     Differentiable wrt params; the occupancy state is treated as constant
     (stop-gradient), like the reference's no-grad grid updates.
@@ -237,7 +242,9 @@ def ngp_render_rays(
     rgb = jnp.sum(weights[..., None] * rgb_s, -2)
     depth = jnp.sum(weights * zk, -1)
 
-    if bg_color is None:
+    if bg_fn is not None:
+        bg_color = bg_fn(params, rays_o, rays_d)
+    elif bg_color is None:
         bg_color = cfg.bg_color
     rgb = rgb + (1.0 - acc)[..., None] * bg_color
     return {"rgb": rgb, "depth": depth, "acc": acc}
@@ -256,6 +263,7 @@ def ngp_render_image(
     chunk: int = 8192,
     bg_color=None,
     time: Optional[float] = None,
+    bg_fn: Optional[Callable] = None,
 ):
     """Full-image eval render with fixed-size compiled chunks.  ``time``
     renders a D-NeRF frame at that timestamp."""
@@ -272,7 +280,8 @@ def ngp_render_image(
         rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))], 0)
         rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))], 0)
 
-    render = _eval_chunk(density_fn, rgb_fn, cfg, timed=time is not None)
+    render = _eval_chunk(density_fn, rgb_fn, cfg, timed=time is not None,
+                         bg_fn=bg_fn)
     rgbs, depths = [], []
     for i in range(0, n_pad, chunk):
         args = [params, occ, rays_o[i : i + chunk], rays_d[i : i + chunk]]
@@ -286,11 +295,20 @@ def ngp_render_image(
     return np.asarray(rgb), np.asarray(depth)
 
 
-_EVAL_CACHE = {}
+# Bounded compiled-eval cache.  Values pin the callables so the id() keys
+# can never be reused by the GC (the id-reuse hazard of a plain dict), and
+# the LRU bound stops unbounded growth across many field instances.
+_EVAL_CACHE: "OrderedDict" = None
 
 
-def _eval_chunk(density_fn, rgb_fn, cfg: NGPRenderConfig, timed: bool = False):
-    key = (id(density_fn), id(rgb_fn), cfg, timed)
+def _eval_chunk(density_fn, rgb_fn, cfg: NGPRenderConfig, timed: bool = False,
+                bg_fn=None):
+    global _EVAL_CACHE
+    from collections import OrderedDict
+
+    if _EVAL_CACHE is None:
+        _EVAL_CACHE = OrderedDict()
+    key = (id(density_fn), id(rgb_fn), id(bg_fn), cfg, timed)
     if key not in _EVAL_CACHE:
         if timed:
 
@@ -299,6 +317,7 @@ def _eval_chunk(density_fn, rgb_fn, cfg: NGPRenderConfig, timed: bool = False):
                 return ngp_render_rays(
                     jax.random.PRNGKey(0), params, density_fn, rgb_fn, occ,
                     rays_o, rays_d, cfg, perturb=False, times=times,
+                    bg_fn=bg_fn,
                 )
 
         else:
@@ -307,8 +326,12 @@ def _eval_chunk(density_fn, rgb_fn, cfg: NGPRenderConfig, timed: bool = False):
             def render(params, occ, rays_o, rays_d):
                 return ngp_render_rays(
                     jax.random.PRNGKey(0), params, density_fn, rgb_fn, occ,
-                    rays_o, rays_d, cfg, perturb=False,
+                    rays_o, rays_d, cfg, perturb=False, bg_fn=bg_fn,
                 )
 
-        _EVAL_CACHE[key] = render
-    return _EVAL_CACHE[key]
+        _EVAL_CACHE[key] = (render, density_fn, rgb_fn, bg_fn)
+        while len(_EVAL_CACHE) > 16:
+            _EVAL_CACHE.popitem(last=False)
+    else:
+        _EVAL_CACHE.move_to_end(key)
+    return _EVAL_CACHE[key][0]

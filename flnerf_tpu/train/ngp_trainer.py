@@ -67,7 +67,14 @@ class NGPSampler:
     def __init__(self, images, poses, K, cfg: NGPTrainConfig, seed: int = 0,
                  times=None):
         self.times = np.asarray(times, np.float32) if times is not None else None
-        self.images = np.ascontiguousarray(images, np.float32)
+        images = np.ascontiguousarray(images, np.float32)
+        # RGBA inputs keep their alpha for random-background compositing
+        # (utils.py:469-480); rgb stays premultiplied-free (raw values)
+        self.alphas = (
+            images[..., 3:4].reshape(images.shape[0], -1, 1)
+            if images.shape[-1] == 4 else None
+        )
+        self.images = images[..., :3]
         self.n_images, self.H, self.W = images.shape[:3]
         self.rng = np.random.default_rng(seed)
         from flnerf_tpu.rays.camera import get_rays_np
@@ -133,11 +140,13 @@ class NGPSampler:
     def sample_chunk(self, n_steps: int, batch: int):
         """[n_steps] training batches; each step draws ``batch`` rays from
         one image (ngp's per-step single-image collate, provider.py:289).
-        Returns (origins, dirs, rgb, img_ids [n_steps], inds_coarse|None,
+        Returns (origins, dirs, rgb [n_steps, batch, 3|4 — alpha appended
+        for RGBA datasets], img_ids [n_steps], inds_coarse|None,
         times [n_steps, batch]|None)."""
         origins = np.empty((n_steps, batch, 3), np.float32)
         dirs = np.empty((n_steps, batch, 3), np.float32)
-        rgb = np.empty((n_steps, batch, 3), np.float32)
+        c_gt = 3 if self.alphas is None else 4
+        rgb = np.empty((n_steps, batch, c_gt), np.float32)
         img_ids = np.empty(n_steps, np.int64)
         t_out = (
             np.empty((n_steps, batch), np.float32) if self.times is not None else None
@@ -159,7 +168,9 @@ class NGPSampler:
                 inds = self.rng.choice(hw, size=batch, p=self.image_probs[i])
             origins[s] = self.origins[i, inds]
             dirs[s] = self.dirs[i, inds]
-            rgb[s] = self.pixels[i, inds]
+            rgb[s, :, :3] = self.pixels[i, inds]
+            if self.alphas is not None:
+                rgb[s, :, 3:] = self.alphas[i, inds]
             if t_out is not None:
                 t_out[s] = self.times[i]
         return origins, dirs, rgb, img_ids, inds_coarse, t_out
@@ -181,9 +192,13 @@ class NGPTrainer:
         render_cfg: NGPRenderConfig,
         train_cfg: NGPTrainConfig,
         mesh=None,
+        bg_fn=None,
     ):
         self.density_fn = density_fn
         self.rgb_fn = rgb_fn
+        # learned environment-map background (network.py:66-93); None keeps
+        # the scalar/random bg_color path
+        self.bg_fn = bg_fn
         self.rcfg = render_cfg
         self.cfg = train_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -235,6 +250,8 @@ class NGPTrainer:
         density_fn, rgb_fn = self.density_fn, self.rgb_fn
         rcfg, cfg, tx = self.rcfg, self.cfg, self.tx
 
+        bg_fn = self.bg_fn
+
         def one_step(state: NGPTrainState, occ, xs):
             if cfg.time_dependent:
                 origins, dirs, rgb, times, key = xs
@@ -243,18 +260,30 @@ class NGPTrainer:
                 times = None
 
             def loss_fn(params):
+                kp, kb = jax.random.split(key)
+                if rgb.shape[-1] == 4 and bg_fn is None:
+                    # pixel-wise random background (utils.py:474-479):
+                    # composite the RGBA gt against it and render with it
+                    bg = jax.random.uniform(kb, rgb[..., :3].shape)
+                    gt = rgb[..., :3] * rgb[..., 3:] + bg * (1.0 - rgb[..., 3:])
+                elif rgb.shape[-1] == 4:
+                    bg = None  # bg model: gt on white (utils.py:469-471)
+                    gt = rgb[..., :3] * rgb[..., 3:] + 1.0 - rgb[..., 3:]
+                else:
+                    bg = cfg.bg_color
+                    gt = rgb
                 out = ngp_render_rays(
-                    key, params, density_fn, rgb_fn, occ, origins, dirs, rcfg,
-                    perturb=True, bg_color=cfg.bg_color, times=times,
+                    kp, params, density_fn, rgb_fn, occ, origins, dirs, rcfg,
+                    perturb=True, bg_color=bg, times=times, bg_fn=bg_fn,
                 )
                 if cfg.loss_type == "huber":
                     from flnerf_tpu.core.losses import huber_loss
 
                     per_ray = jnp.mean(
-                        huber_loss(out["rgb"], rgb, cfg.huber_delta, reduce=False), -1
+                        huber_loss(out["rgb"], gt, cfg.huber_delta, reduce=False), -1
                     )
                 else:
-                    per_ray = jnp.mean((out["rgb"] - rgb) ** 2, -1)
+                    per_ray = jnp.mean((out["rgb"] - gt) ** 2, -1)
                 return jnp.mean(per_ray), per_ray
 
             (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -441,6 +470,7 @@ class NGPTrainer:
                 params, self.density_fn, self.rgb_fn, self.occ,
                 self.rcfg, H, W, K, poses[i][:3, :4], chunk=chunk,
                 time=(float(times[i]) if times is not None else None),
+                bg_fn=self.bg_fn,
             )
             mse = float(np.mean((rgb - images[i]) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))

@@ -261,3 +261,113 @@ def test_ngp_checkpoint_roundtrip_and_ema(tmp_path):
     np.testing.assert_allclose(
         np.asarray(t.occ.density), np.asarray(t2.occ.density)
     )
+
+
+def test_sph_from_ray_on_sphere():
+    from flnerf_tpu.models.hash_ngp import sph_from_ray
+
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.standard_normal((32, 3)) * 0.3, jnp.float32)
+    d = rng.standard_normal((32, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    r = 4.0
+    sph = np.asarray(sph_from_ray(o, jnp.asarray(d), r))
+    # coords in [-1, 1]
+    assert np.all(sph >= -1.0 - 1e-5) and np.all(sph <= 1.0 + 1e-5)
+    # reconstruct the intersection point and check it's on the sphere
+    theta = (sph[:, 0] + 1.0) * np.pi / 2
+    phi = sph[:, 1] * np.pi
+    p = np.stack([np.sin(theta) * np.cos(phi), np.cos(theta),
+                  np.sin(theta) * np.sin(phi)], -1) * r
+    # p must lie on each ray beyond the origin
+    t = np.einsum("nd,nd->n", p - np.asarray(o), d)
+    closest = np.asarray(o) + t[:, None] * d
+    np.testing.assert_allclose(closest, p, atol=1e-3)
+    assert np.all(t > 0)
+
+
+def test_hash_encode_2d_matches_reference():
+    from flnerf_tpu.ops.hash_encoding import (
+        hash_encode, hash_encode_reference, init_hashgrid, make_hashgrid_spec,
+    )
+
+    spec = make_hashgrid_spec(num_levels=4, level_dim=2, base_resolution=16,
+                              log2_hashmap_size=9, desired_resolution=128,
+                              input_dim=2)
+    table = init_hashgrid(jax.random.PRNGKey(0), spec)
+    x = np.random.default_rng(0).random((64, 2)).astype(np.float32)
+    out = np.asarray(hash_encode(jnp.asarray(x), table, spec))
+    ref = hash_encode_reference(x, np.asarray(table), spec)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_bg_model_trains_with_random_bg_compositing():
+    """RGBA gt + bg model: bg params receive gradients and train under jit
+    (network.py:66-93 + utils.py:469-480 analog)."""
+    from flnerf_tpu.models.hash_ngp import (
+        NGPConfig, make_ngp_bg_fn, make_ngp_field,
+    )
+    from flnerf_tpu.render.ngp import NGPRenderConfig
+    from flnerf_tpu.train.ngp_trainer import (
+        NGPSampler, NGPTrainConfig, NGPTrainer,
+    )
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=3, n_test=1, H=24, W=24)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr = i_split[0]
+    # synthesize alpha from non-white pixels
+    alpha = (images[tr].sum(-1) < 2.95).astype(np.float32)[..., None]
+    rgba = np.concatenate([images[tr], alpha], -1)
+
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=11, num_levels=4,
+                    hash_backend="xla", bg_radius=8.0, bg_levels=2,
+                    bg_log2_hashmap_size=9)
+    init_fn, density_fn, rgb_fn = make_ngp_field(cfg)
+    bg_fn = make_ngp_bg_fn(cfg)
+    assert bg_fn is not None
+    rcfg = NGPRenderConfig(n_candidates=32, n_keep=16, grid_size=32,
+                           bound=1.5)
+    tcfg = NGPTrainConfig(max_steps=8, batch_rays=128, steps_per_chunk=4)
+    t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg, bg_fn=bg_fn)
+    p0 = jax.tree_util.tree_map(np.array, t.state.params)
+    assert "bg_table" in p0 and "bg_net" in p0
+    sampler = NGPSampler(rgba, poses[tr], K, tcfg)
+    t.fit(sampler, verbose=False)
+    p1 = t.state.params
+    # bg params moved (received gradients through the compositing)
+    assert np.abs(np.asarray(p1["bg_table"]) - p0["bg_table"]).max() > 0
+    assert np.abs(np.asarray(p1["bg_net"][0]) - p0["bg_net"][0]).max() > 0
+
+
+def test_random_bg_compositing_no_bg_model():
+    """RGBA gt without a bg model: per-pixel random background path runs
+    and trains (utils.py:474-479)."""
+    from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
+    from flnerf_tpu.render.ngp import NGPRenderConfig
+    from flnerf_tpu.train.ngp_trainer import (
+        NGPSampler, NGPTrainConfig, NGPTrainer,
+    )
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=3, n_test=1, H=24, W=24)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr = i_split[0]
+    alpha = (images[tr].sum(-1) < 2.95).astype(np.float32)[..., None]
+    rgba = np.concatenate([images[tr], alpha], -1)
+
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=11, num_levels=4,
+                    hash_backend="xla")
+    init_fn, density_fn, rgb_fn = make_ngp_field(cfg)
+    rcfg = NGPRenderConfig(n_candidates=32, n_keep=16, grid_size=32, bound=1.5)
+    tcfg = NGPTrainConfig(max_steps=8, batch_rays=128, steps_per_chunk=4)
+    t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
+    sampler = NGPSampler(rgba, poses[tr], K, tcfg)
+    assert sampler.alphas is not None
+    t.fit(sampler, verbose=False)

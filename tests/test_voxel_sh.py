@@ -193,3 +193,110 @@ def test_plenoxels_e2e_training_improves():
     assert p1 > 15.0
     # the quadtree subdivided on the way
     assert b.forest.n_leaves > 6 * 4
+
+
+def test_nvol_backend_single_voxel_closed_form():
+    """nvol weights: w_i = min(sum a, 1) increments
+    (render_lerp_kernel_nvol.cu:88-96)."""
+    cfg = VoxelGridConfig(
+        reso=(8, 8, 8), radius=(1.0,) * 3, max_steps=64, step_size=0.5,
+        backend="nvol", background_brightness=0.0,
+    )
+    sigma0 = 0.8
+    grid = VoxelGrid(
+        density=jnp.full((8, 8, 8), sigma0),
+        sh=jnp.zeros((8, 8, 8, 27)).at[..., 0].set(1.0),  # DC-only sh
+        alive=jnp.ones((8, 8, 8), bool),
+    )
+    o = jnp.asarray([[0.0, 0.0, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    out = voxel_render_rays(grid, o, d, cfg)
+    # constant sigma: a = 1 - exp(-step*sigma*ds) per step; total saturates
+    # at 1 -> acc == 1 if enough steps
+    ds = 1.0 / (0.5 * 8 / 1.0)  # delta_scale for this grid
+    a = 1.0 - np.exp(-0.5 * sigma0 * ds)
+    n_inside = 8 / 0.5  # steps crossing the grid
+    expected_acc = min(n_inside * a, 1.0)
+    np.testing.assert_allclose(float(out["acc"][0]), expected_acc, atol=0.05)
+    # sh ch0 is R's DC coefficient; G/B have DC 0 -> clamp(0.5)
+    c0 = 0.28209479177387814
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"][0]),
+        [expected_acc * (c0 + 0.5), expected_acc * 0.5, expected_acc * 0.5],
+        atol=0.05)
+
+
+def test_svox1_backend_constant_voxels():
+    """svox1 (nearest-neighbor DDA) on a uniform grid matches the
+    Beer-Lambert integral through the box."""
+    cfg = VoxelGridConfig(
+        reso=(8, 8, 8), radius=(1.0,) * 3, max_steps=64, step_size=0.5,
+        backend="svox1", background_brightness=1.0,
+    )
+    sigma0 = 0.5
+    grid = VoxelGrid(
+        density=jnp.full((8, 8, 8), sigma0),
+        sh=jnp.zeros((8, 8, 8, 27)).at[..., 0].set(1.0),
+        alive=jnp.ones((8, 8, 8), bool),
+    )
+    o = jnp.asarray([[0.0, 0.0, -3.0], [0.0, 0.0, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])  # hit / miss
+    out = voxel_render_rays(grid, o, d, cfg)
+    # DDA crosses ~7 unit cells (size-1 box), each contributing
+    # exp-attenuation with delta ~= 1 voxel * delta_scale
+    ds = 1.0 / (0.5 * 8)
+    path = 7.0 * (1.0 + 1e-2)
+    expected_T = np.exp(-path * ds * sigma0)
+    np.testing.assert_allclose(float(out["acc"][0]), 1 - expected_T, atol=0.03)
+    # miss ray renders pure background
+    np.testing.assert_allclose(np.asarray(out["rgb"][1]), 1.0, atol=1e-5)
+    # rgb = acc*(clamped sh) + T*bg, per channel (ch0 = R's DC)
+    c0 = 0.28209479177387814
+    a = 1 - expected_T
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"][0]),
+        [a * (c0 + 0.5) + expected_T, a * 0.5 + expected_T,
+         a * 0.5 + expected_T], atol=0.03)
+
+
+def test_msi_background_renders_and_roundtrips(tmp_path):
+    cfg = VoxelGridConfig(
+        reso=(8, 8, 8), radius=(0.5,) * 3, max_steps=32, step_size=0.5,
+        background_nlayers=4, background_reso=16,
+        background_brightness=0.0,
+    )
+    grid = init_voxel_grid(cfg)
+    assert grid.background.shape == (32, 16, 4, 4)
+    # empty grid + a bright opaque background shell: rays should see it
+    bg = np.zeros((32, 16, 4, 4), np.float32)
+    bg[..., 3] = 2000.0                  # sigma (opaque shell)
+    bg[..., 0] = (0.7 - 0.5) / 0.28209479177387814   # red solves c0*v+.5=0.7
+    grid = grid._replace(
+        background=jnp.asarray(bg),
+        density=jnp.zeros_like(grid.density),
+    )
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((16, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((16, 3), np.float32)
+    out = voxel_render_rays(grid, jnp.asarray(o), jnp.asarray(d), cfg)
+    np.testing.assert_allclose(np.asarray(out["rgb"][:, 0]), 0.7, atol=0.02)
+    np.testing.assert_allclose(np.asarray(out["rgb"][:, 1]), 0.5, atol=0.02)
+
+    # gradients flow into the background
+    def loss(bgv):
+        g = grid._replace(background=bgv)
+        return jnp.mean(voxel_render_rays(g, jnp.asarray(o), jnp.asarray(d), cfg)["rgb"])
+    gbg = jax.grad(loss)(grid.background)
+    assert float(jnp.abs(gbg).max()) > 0
+
+    # npz round-trip includes background fields (svox2.py:1531-1558 layout)
+    path = str(tmp_path / "bg.npz")
+    save_npz(path, grid, cfg)
+    z = np.load(path)
+    assert z["background_links"].shape == (32, 16)
+    assert z["background_data"].shape == (512, 4, 4)
+    g2, cfg2 = load_npz(path)
+    assert cfg2.background_nlayers == 4 and cfg2.background_reso == 16
+    np.testing.assert_allclose(
+        np.asarray(g2.background), np.asarray(grid.background), atol=1e-2)
