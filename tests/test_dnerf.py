@@ -98,3 +98,53 @@ def test_dnerf_e2e_trainer():
     p, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=576,
                          times=[0.5])
     assert np.isfinite(p)
+
+
+@pytest.mark.parametrize("variant", ["basis", "hyper"])
+def test_dnerf_variant_fields_train(variant):
+    """Basis/hyper variants (dnerf/network_basis.py:262, network_hyper.py:261)
+    train on a time-varying synthetic scene through the shared protocol."""
+    from flnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_variant_field
+    from flnerf_tpu.models.hash_ngp import NGPConfig
+    from flnerf_tpu.render.ngp import NGPRenderConfig, ngp_render_rays, init_occupancy
+
+    cfg = DNeRFConfig(
+        ngp=NGPConfig(bound=1.5, num_levels=4, log2_hashmap_size=11,
+                      hash_backend="xla"),
+        variant=variant, num_layers_basis=2, hidden_dim_basis=32,
+        num_layers_ambient=2, hidden_dim_ambient=32,
+    )
+    init_fn, density_fn, rgb_fn = make_dnerf_variant_field(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    rcfg = NGPRenderConfig(n_candidates=32, n_keep=16, grid_size=16, bound=1.5)
+    occ = init_occupancy(rcfg)
+    occ = occ._replace(density=jnp.ones_like(occ.density))  # all occupied
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.tile([[0, 0, -2.0]], (64, 1)), jnp.float32)
+    d = rng.standard_normal((64, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    t = jnp.asarray(rng.random(64), jnp.float32)
+    gt = jnp.asarray(rng.random((64, 3)), jnp.float32)
+
+    def loss(p):
+        out = ngp_render_rays(jax.random.PRNGKey(1), p, density_fn, rgb_fn,
+                              occ, o, d, rcfg, times=t)
+        return jnp.mean((out["rgb"] - gt) ** 2)
+
+    l0, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l0))
+    # every parameter group receives gradients (incl. the time nets)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    key_net = "basis_net" if variant == "basis" else "ambient_net"
+    assert float(jnp.abs(grads[key_net][0]).max()) > 0
+    # outputs differ across time (the variant actually uses t)
+    out0 = ngp_render_rays(jax.random.PRNGKey(1), params, density_fn, rgb_fn,
+                           occ, o, d, rcfg, perturb=False,
+                           times=jnp.zeros(64))
+    out1 = ngp_render_rays(jax.random.PRNGKey(1), params, density_fn, rgb_fn,
+                           occ, o, d, rcfg, perturb=False,
+                           times=jnp.ones(64))
+    assert float(jnp.abs(out0["rgb"] - out1["rgb"]).max()) > 1e-6
