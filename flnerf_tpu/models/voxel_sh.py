@@ -413,6 +413,72 @@ def upsample_grid(grid: VoxelGrid, new_reso: Tuple[int, int, int]) -> VoxelGrid:
     return VoxelGrid(density, sh, alive)
 
 
+def max_weight_grid(grid: VoxelGrid, cfg: VoxelGridConfig, poses, H, W, K,
+                    stride: int = 2) -> jnp.ndarray:
+    """Per-voxel max ray weight over training cameras (misc_kernel.cu:310
+    grid_weight_render analog): marches every stride-th pixel of each camera
+    and scatter-maxes the sample weights onto the sample voxels.  Used by
+    weight-threshold pruning, which (unlike sigma-threshold pruning) also
+    removes occluded interior cells."""
+    from flnerf_tpu.rays.camera import get_rays
+
+    maxw = jnp.zeros(cfg.reso, jnp.float32)
+
+    @jax.jit
+    def one_cam(maxw, c2w):
+        ro, rd = get_rays(H, W, K, c2w)
+        ro = ro[::stride, ::stride].reshape(-1, 3)
+        rd = rd[::stride, ::stride].reshape(-1, 3)
+        out = voxel_render_rays(grid, ro, rd, cfg)
+        w = out["weights"]                                   # [N, S]
+        origins = world2grid(cfg, ro)
+        viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        dirs = viewdirs * grid_scaling(cfg)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        # recompute sample positions exactly like voxel_render_rays
+        gsz = jnp.asarray(cfg.reso, jnp.float32)
+        parallel = jnp.abs(dirs) < 1e-9
+        safe = jnp.where(parallel, 1e-9, dirs)
+        inv = 1.0 / safe
+        t1 = (-0.5 - origins) * inv
+        t2 = (gsz - 0.5 - origins) * inv
+        tmin = jnp.maximum(
+            jnp.where(parallel, -1e9, jnp.minimum(t1, t2)).max(-1),
+            cfg.near_clip,
+        )
+        ts = tmin[:, None] + cfg.step_size * jnp.arange(cfg.max_steps)[None, :]
+        pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
+        pos = jnp.clip(pos, 0.0, gsz - 1.0)
+        l = jnp.clip(jnp.floor(pos), 0.0, gsz - 2.0).astype(jnp.int32)
+        # splat the weight onto the nearest corner (the kernel accumulates
+        # per-sample max at the sample's cell)
+        ln = (l + (pos - l > 0.5)).astype(jnp.int32)
+        flat = (ln[..., 0] * cfg.reso[1] + ln[..., 1]) * cfg.reso[2] + ln[..., 2]
+        upd = jnp.zeros(int(np.prod(cfg.reso)), jnp.float32)
+        upd = upd.at[flat.reshape(-1)].max(w.reshape(-1))
+        return jnp.maximum(maxw, upd.reshape(cfg.reso))
+
+    for p_i in poses:
+        maxw = one_cam(maxw, jnp.asarray(p_i)[:3, :4])
+    return maxw
+
+
+def weight_prune_grid(grid: VoxelGrid, cfg: VoxelGridConfig, poses, H, W, K,
+                      weight_thresh: float = 0.0256, dilate: int = 2,
+                      stride: int = 2) -> VoxelGrid:
+    """Max-weight camera pruning (svox2.py:1224+ resample with
+    use_weight_thresh; threshold default = RenderOptions' 0.0256)."""
+    maxw = max_weight_grid(grid, cfg, poses, H, W, K, stride)
+    keep = maxw >= weight_thresh
+    for _ in range(dilate):
+        k = keep
+        k = k | jnp.roll(keep, 1, 0) | jnp.roll(keep, -1, 0)
+        k = k | jnp.roll(keep, 1, 1) | jnp.roll(keep, -1, 1)
+        k = k | jnp.roll(keep, 1, 2) | jnp.roll(keep, -1, 2)
+        keep = k
+    return grid._replace(alive=grid.alive & keep)
+
+
 def prune_grid(grid: VoxelGrid, sigma_thresh: float = 5.0, dilate: int = 2) -> VoxelGrid:
     """Weight/threshold pruning with morphological dilation
     (svox2.py:1224-1430 resample's sigma-threshold + misc_kernel.cu dilate)."""
