@@ -138,7 +138,7 @@ def update_occupancy(
     density_fn: Callable,
     key,
     cfg: NGPRenderConfig,
-    chunk: int = 1 << 18,
+    chunk: int = 1 << 16,
 ) -> OccupancyState:
     """Refresh the density grid by querying the field at jittered cell
     centers; EMA max decay (update_extra_state, renderer.py:445-538).
@@ -155,11 +155,18 @@ def update_occupancy(
     xyz = ((cells + jitter) / g * 2.0 - 1.0) * cfg.bound
 
     n = xyz.shape[0]
-    sigmas = []
-    for i in range(0, n, chunk):
-        s, _ = density_fn(params, jax.lax.stop_gradient(xyz[i : i + chunk]))
-        sigmas.append(s)
-    sigma = jnp.concatenate(sigmas).reshape(g, g, g) * cfg.density_scale
+    chunk = min(chunk, n)
+    # lax.scan (not a Python loop) so XLA SEQUENCES the chunks: unrolled
+    # chunks schedule concurrently and their hash-encoding temporaries
+    # stack up to tens of GB at grid_size 128
+    xyz_c = jax.lax.stop_gradient(xyz).reshape(n // chunk, chunk, 3)
+
+    def body(carry, xc):
+        s, _ = density_fn(params, xc)
+        return carry, s
+
+    _, sigma = jax.lax.scan(body, 0, xyz_c)
+    sigma = sigma.reshape(g, g, g) * cfg.density_scale
 
     # untrained cells (marked -1 by mark_untrained_grid) stay pinned at -1,
     # matching the reference's density_grid >= 0 update guard
