@@ -49,3 +49,29 @@ def shard_batch(mesh: Mesh, *arrays):
     """Device-put host arrays with the batch axis sharded over the mesh."""
     sh = batch_sharding(mesh)
     return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) initialization hook (SURVEY §2.8/§5.8).
+
+    Call once per host before make_mesh(); afterwards jax.devices() spans
+    every host and the same 1-D data mesh stretches across DCN — the train
+    steps are unchanged (XLA routes the gradient psum over ICI within a
+    slice and DCN between slices).  No-op (returns False) when running
+    single-host with no coordinator configured, so single-chip runs and
+    the CPU test mesh never pay for it.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "FLNERF_COORDINATOR")
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True

@@ -234,6 +234,50 @@ class RayBudgeter:
         py = np.minimum(py, self.W - 1)
         return leaf_of_ray, px, py
 
+    def _draw_fractional_pixels(self, boxes: np.ndarray, counts: np.ndarray):
+        """Fractional-pixel draw (gen_rays_v3, tree.py:265-269): positions
+        at 1/1000-pixel granularity inside each leaf box."""
+        scale = 1000
+        leaf_of_ray = np.repeat(np.arange(boxes.shape[0]), counts)
+        x_lo = (boxes[:, 0] * scale).astype(np.int64)
+        x_hi = np.maximum(((boxes[:, 2] - 0.01) * scale).astype(np.int64),
+                          x_lo + 1)
+        y_lo = (boxes[:, 1] * scale).astype(np.int64)
+        y_hi = np.maximum(((boxes[:, 3] - 0.01) * scale).astype(np.int64),
+                          y_lo + 1)
+        n = leaf_of_ray.shape[0]
+        px = (x_lo[leaf_of_ray]
+              + (self.rng.random(n) * (x_hi - x_lo)[leaf_of_ray]).astype(np.int64)
+              ).astype(np.float64) / scale
+        py = (y_lo[leaf_of_ray]
+              + (self.rng.random(n) * (y_hi - y_lo)[leaf_of_ray]).astype(np.int64)
+              ).astype(np.float64) / scale
+        return leaf_of_ray, px, py
+
+    def _bilerp(self, arr: np.ndarray, img: np.ndarray, px: np.ndarray,
+                py: np.ndarray) -> np.ndarray:
+        """grid_sample(align_corners=False, zeros padding) of per-image
+        fields at fractional pixels: the reference normalizes pixel/(h/2)-1,
+        which lands at position (pixel - 0.5) in array coords."""
+        x = px - 0.5
+        y = py - 0.5
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+
+        def tap(ix, iy):
+            inb = ((ix >= 0) & (ix < self.H) & (iy >= 0) & (iy < self.W))
+            v = arr[img, np.clip(ix, 0, self.H - 1), np.clip(iy, 0, self.W - 1)]
+            return v * inb[:, None]
+
+        return (
+            tap(x0, y0) * (1 - fx) * (1 - fy)
+            + tap(x0, y0 + 1) * (1 - fx) * fy
+            + tap(x0 + 1, y0) * fx * (1 - fy)
+            + tap(x0 + 1, y0 + 1) * fx * fy
+        ).astype(np.float32)
+
     def ray_counts(self, down_scale: int = 1, forest: Optional[QuadTreeForest] = None) -> np.ndarray:
         """Per-leaf ray budget under the 10-ray / area×rate rule."""
         f = forest or self.forest
@@ -249,6 +293,7 @@ class RayBudgeter:
         rand_samp_perc: float = 1.0,
         last_epoch: bool = False,
         shuffle: bool = True,
+        fractional: bool = False,
     ) -> RayEpoch:
         """Generate one epoch's ray set (gen_rays_v3_multiThread analog,
         tree.py:377-428 + gen_rays_v3_1_subThread tree.py:569-624)."""
@@ -272,6 +317,34 @@ class RayBudgeter:
             leaf_of_ray = np.concatenate([leaf_p, leaf_u])
             px = np.concatenate([px_p, px_u])
             py = np.concatenate([py_p, py_u])
+        elif fractional:
+            # gen_rays_v3 (tree.py:231-307): fractional pixels + bilinear
+            # grid_sample interpolation of rgb/origins/dirs
+            leaf_of_ray, pxf, pyf = self._draw_fractional_pixels(
+                forest.boxes, counts)
+            img_of_ray = forest.img[leaf_of_ray]
+            rgb = self._bilerp(self.images, img_of_ray, pxf, pyf)
+            origins = self._bilerp(self.origins, img_of_ray, pxf, pyf)
+            dirs = self._bilerp(self.dirs, img_of_ray, pxf, pyf)
+            vdirs = (
+                self._bilerp(self.viewdirs, img_of_ray, pxf, pyf)
+                if self.viewdirs is not None else None
+            )
+            px = np.minimum(pxf.astype(np.int64), self.H - 1)
+            py = np.minimum(pyf.astype(np.int64), self.W - 1)
+            leaf_id = leaf_of_ray.astype(np.int32)
+            if shuffle:
+                perm = self.rng.permutation(rgb.shape[0])
+                rgb, origins, dirs, leaf_id = (
+                    rgb[perm], origins[perm], dirs[perm], leaf_id[perm])
+                px, py, img_of_ray = px[perm], py[perm], img_of_ray[perm]
+                if vdirs is not None:
+                    vdirs = vdirs[perm]
+            return RayEpoch(
+                origins, dirs, rgb, leaf_id, forest.n_leaves, vdirs,
+                px.astype(np.int32), py.astype(np.int32),
+                img_of_ray.astype(np.int32),
+            )
         else:
             leaf_of_ray, px, py = self._draw_uniform_pixels(forest.boxes, counts)
 

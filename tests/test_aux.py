@@ -264,3 +264,38 @@ def test_extra_loaders_synthetic_layouts(tmp_path):
     images_t, _, _, _ = load_nsvf_data(str(nv), "test")
     assert images_t.shape[0] == 2
     assert abs(K[0, 0] - 10.0) < 1e-6
+
+
+def test_init_distributed_noop_single_host():
+    from flnerf_tpu.parallel.mesh import init_distributed
+
+    assert init_distributed() is False  # no coordinator -> single-host no-op
+
+
+def test_clip_guidance_structure():
+    """CLIP loss structure with a stub encoder (the real weights are gated
+    offline like LPIPS; clip_loss_fn returns None without them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.core.clip_guidance import CLIPGuidance, clip_loss_fn
+
+    assert clip_loss_fn(["a chair"]) is None  # offline gate
+
+    d = 32
+
+    def stub_encoder(images):
+        # images [N, 3, 224, 224] -> [N, d]: mean pools into a fixed basis
+        pooled = jnp.mean(images, axis=(2, 3))            # [N, 3]
+        w = jnp.ones((3, d)) * 0.1
+        return pooled @ w
+
+    rng = np.random.default_rng(0)
+    text_zs = jnp.asarray(rng.standard_normal((2, d)), jnp.float32)
+    g = CLIPGuidance(stub_encoder, text_zs)
+    images = jnp.asarray(rng.random((2, 17, 19, 3)), jnp.float32)
+    loss = g(images, key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # differentiable wrt the rendered images
+    grad = jax.grad(lambda im: g(im, key=jax.random.PRNGKey(0)))(images)
+    assert np.abs(np.asarray(grad)).max() > 0

@@ -155,3 +155,58 @@ def test_prob_sampling_in_bounds():
     # half prob, half uniform still respects total budget per leaf
     counts = b.ray_counts(1)
     assert ep.origins.shape[0] == counts.sum()
+
+
+def test_gen_rays_fractional_interpolates():
+    """gen_rays_v3 analog: fractional pixels bilinearly interpolate
+    rgb/origins/dirs (tree.py:231-307 grid_sample path)."""
+    rng = np.random.default_rng(0)
+    H = W = 16
+    # smooth fields so interpolation stays within neighbor range
+    yy, xx = np.meshgrid(np.arange(W), np.arange(H))
+    images = np.stack([np.stack([xx / H, yy / W, xx * 0 + 0.5], -1)], 0).astype(np.float32)
+    origins = np.broadcast_to(np.array([0, 0, 2.0], np.float32), (1, H, W, 3)).copy()
+    dirs = np.stack([xx / H - 0.5, yy / W - 0.5, -np.ones_like(xx, np.float32)], -1)[None].astype(np.float32)
+    b = RayBudgeter(images, origins, dirs, init_level=2, seed=0)
+    ep = b.gen_rays(fractional=True, shuffle=False)
+    assert ep.origins.shape[0] > 0
+    # interpolated rgb channel 0 == px/H (a linear field interpolates exactly
+    # away from the zero-padded border)
+    interior = (ep.px > 0) & (ep.px < H - 1) & (ep.py > 0) & (ep.py < W - 1)
+    assert interior.sum() > 10
+    # reconstruct the fractional x from the rgb value and check the int px
+    # is its floor (coherence keys round down)
+    approx_x = ep.rgb[interior, 0] * H
+    assert np.all(np.abs(approx_x - ep.px[interior]) <= 1.0 + 1e-5)
+    # dirs were interpolated, not snapped: many unique values per pixel cell
+    assert len(np.unique(ep.dirs[:, 0])) > len(np.unique(ep.px))
+
+
+def test_leaf_schedule_golden_sequence():
+    """Golden ray-count/leaf-count schedule across subdivisions (exact
+    seeds): pins the 10-ray rule + area*rate allocation + minArea/4 update
+    (tree.py:569-606, 629-652) — any budgeter regression flips these."""
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=4, n_test=1, H=32, W=32)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr = i_split[0]
+    o = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[tr]], 0)
+    d = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[tr]], 0)
+    b = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
+
+    leaves, rays, splits = [], [], []
+    for _ in range(4):
+        ep = b.gen_rays(down_scale=1)
+        leaves.append(b.forest.n_leaves)
+        rays.append(int(ep.origins.shape[0]))
+        n = b.forest.n_leaves
+        stat = (np.arange(n) % 3 == 0).astype(np.float64)
+        splits.append(int(b.adjust(stat, thres=0.5)))
+
+    assert leaves == [16, 34, 70, 142], leaves
+    assert rays == [4096, 1636, 988, 844], rays
+    assert splits == [6, 12, 24, 48], splits

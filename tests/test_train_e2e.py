@@ -50,7 +50,7 @@ def test_data_parallel_training_improves_psnr(tiny_scene):
     psnr_after, ssim_after = t.eval_images(poses[te], images[te], H, W, K, chunk=800)
 
     assert psnr_after > psnr_before + 2.0
-    assert psnr_after > 10.0
+    assert psnr_after > 13.0  # golden pin (verify doc: >13 dB in 6 epochs)
     assert 0.0 < ssim_after <= 1.0
     # history records the time-to-PSNR curve
     assert len(t.history) == tc.n_epoch
