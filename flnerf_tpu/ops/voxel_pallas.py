@@ -151,9 +151,28 @@ def _ray_geometry(rays_o, rays_d, cfg: VoxelGridConfig):
     return origins, dirs, tmin, tmax, delta_scale, sh_mult
 
 
-def build_blocks(rays_o, rays_d, cfg: VoxelGridConfig) -> RayBlocks:
+def occupancy_mip(grid: VoxelGrid, cfg: VoxelGridConfig,
+                  thresh: float = None):
+    """8^3 max-pooled occupancy (alive & sigma > sigma_thresh) for
+    window-level empty-space skipping — the accel-distance-map analog
+    (misc_kernel.cu:57-144).  Exact-conservative: a skipped box provably
+    contributes nothing (trilerp of sub-threshold corners stays below the
+    render's own sigma_thresh mask).  None if reso is not 8-divisible."""
+    x, y, z = cfg.reso
+    if x % 8 or y % 8 or z % 8:
+        return None
+    t = cfg.sigma_thresh if thresh is None else thresh
+    occ = jnp.where(grid.alive, grid.density, 0.0) >= t
+    return occ.reshape(x // 8, 8, y // 8, 8, z // 8, 8).max(axis=(1, 3, 5))
+
+
+def build_blocks(rays_o, rays_d, cfg: VoxelGridConfig,
+                 occ_mip=None) -> RayBlocks:
     """Pack [N] rays (N % RB == 0, already coherence-ordered) into blocks and
-    compute per-(block, window) box corners, validity and spread checks."""
+    compute per-(block, window) box corners, validity and spread checks.
+    With ``occ_mip`` (from occupancy_mip), windows whose box contains no
+    occupied cell are marked invalid — the kernels skip their compute and
+    DMA entirely."""
     n = rays_o.shape[0]
     assert n % RB == 0, n
     nb = n // RB
@@ -209,6 +228,26 @@ def build_blocks(rays_o, rays_d, cfg: VoxelGridConfig) -> RayBlocks:
         & (hi_i[..., 1] - cy <= BY - 2)
         & (zg_hi - cg <= GB - 1)
     ) | (valid == 0)
+    if occ_mip is not None:
+        # the box spans <= 3 mip cells per axis (BX=12, BY=24 8-aligned,
+        # z-extent 16): static 3x3x3 neighborhood max at the box corner
+        mx = occ_mip.shape[0] - 1
+        my = occ_mip.shape[1] - 1
+        mz = occ_mip.shape[2] - 1
+        bx = jnp.clip(cx // 8, 0, mx)
+        by = jnp.clip(cy // 8, 0, my)
+        bz = jnp.clip((cg * ZSTRIDE) // 8, 0, mz)
+        occ_any = jnp.zeros_like(valid, dtype=bool)
+        for ox in range(3):
+            for oy in range(3):
+                for oz in range(3):
+                    occ_any = occ_any | occ_mip[
+                        jnp.minimum(bx + ox, mx),
+                        jnp.minimum(by + oy, my),
+                        jnp.minimum(bz + oz, mz),
+                    ]
+        valid = valid * occ_any.astype(jnp.int32)
+
     corners = jnp.stack(
         [
             jnp.where(valid > 0, cg, 0).reshape(nb * nw),
@@ -393,31 +432,36 @@ def _fwd_kernel(cg_ref, cx_ref, cy_ref, valid_ref, rays_ref, table_hbm,
     cg = cg_ref[g]
     cx = cx_ref[g]
     cy = pl.multiple_of(cy_ref[g], 8)
-
-    cp = pltpu.make_async_copy(
-        table_hbm.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :], tbox, sem
-    )
-    cp.start()
+    valid_w = valid_ref[g]
 
     @pl.when(win == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    cp.wait()
+    # empty-space skipping: invalid windows (out of range / unoccupied box)
+    # contribute exactly nothing — skip their DMA and compute entirely
+    @pl.when(valid_w > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            table_hbm.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :],
+            tbox, sem,
+        )
+        cp.start()
+        cp.wait()
 
-    rays = rays_ref[0]
-    m = _march_window(rays, cg, cx, cy, win, valid_ref[g], cfg,
-                      tbox[...].reshape(NROWS, LANES))
+        rays = rays_ref[0]
+        m = _march_window(rays, cg, cx, cy, win, valid_w, cfg,
+                          tbox[...].reshape(NROWS, LANES))
 
-    carry = out_ref[0, :, 4:5]
-    log_att, _, wgt, la_total = _transmittance(m, rays, carry, cfg)
+        carry = out_ref[0, :, 4:5]
+        log_att, _, wgt, la_total = _transmittance(m, rays, carry, cfg)
 
-    rgb_add = _reduce(wgt * m["rgb"])                            # [RB, 3]
-    depth_add = _reduce(wgt * m["ts"])                           # [RB, 1]
+        rgb_add = _reduce(wgt * m["rgb"])                        # [RB, 3]
+        depth_add = _reduce(wgt * m["ts"])                       # [RB, 1]
 
-    out_ref[0, :, 0:3] += rgb_add
-    out_ref[0, :, 3:4] += depth_add
-    out_ref[0, :, 4:5] = carry + la_total
+        out_ref[0, :, 0:3] += rgb_add
+        out_ref[0, :, 3:4] += depth_add
+        out_ref[0, :, 4:5] = carry + la_total
 
     @pl.when(win == nw - 1)
     def _():
@@ -441,78 +485,87 @@ def _bwd_kernel(cg_ref, cx_ref, cy_ref, valid_ref, rays_ref, table_hbm,
     cg = cg_ref[g]
     cx = cx_ref[g]
     cy = pl.multiple_of(cy_ref[g], 8)
-
-    cp = pltpu.make_async_copy(
-        table_hbm.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :], tbox, sem
-    )
-    cp.start()
-    # NOTE: read through the OUTPUT ref (gtab_in aliases the same buffer but
-    # the interpreter/compiler track the refs separately; reading the input
-    # ref does not observe this kernel's earlier writes).
-    del gtab_in
-    rd = pltpu.make_async_copy(
-        gtab_out.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :], gcur, gsem
-    )
-    rd.start()
+    valid_w = valid_ref[g]
 
     @pl.when(win == 0)
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    cp.wait()
+    @pl.when(valid_w > 0)
+    def _body():
+        cp = pltpu.make_async_copy(
+            table_hbm.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :],
+            tbox, sem,
+        )
+        cp.start()
+        # NOTE: read through the OUTPUT ref (gtab_in aliases the same buffer
+        # but the interpreter/compiler track the refs separately; reading
+        # the input ref does not observe this kernel's earlier writes).
+        rd = pltpu.make_async_copy(
+            gtab_out.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :],
+            gcur, gsem,
+        )
+        rd.start()
+        cp.wait()
 
-    rays = rays_ref[0]
-    m = _march_window(rays, cg, cx, cy, win, valid_ref[g], cfg,
-                      tbox[...].reshape(NROWS, LANES))
+        rays = rays_ref[0]
+        m = _march_window(rays, cg, cx, cy, win, valid_w, cfg,
+                          tbox[...].reshape(NROWS, LANES))
 
-    carry_logT = carry_ref[:, 0:1]
-    log_att, log_T_in, wgt, la_total = _transmittance(m, rays, carry_logT, cfg)
+        carry_logT = carry_ref[:, 0:1]
+        log_att, log_T_in, wgt, la_total = _transmittance(
+            m, rays, carry_logT, cfg)
 
-    g_rgb = gray_ref[0, :, 0:3]                                  # [RB, 3]
-    s_tot = _expand(gray_ref[0, :, 3:4])                         # [NS, 1]
-    tfin_gbg = _expand(gray_ref[0, :, 4:5])
+        g_rgb = gray_ref[0, :, 0:3]                              # [RB, 3]
+        s_tot = _expand(gray_ref[0, :, 3:4])                     # [NS, 1]
+        tfin_gbg = _expand(gray_ref[0, :, 4:5])
 
-    # G_k = sum_c g_c * c_k * w_k, per sample
-    g_rgb_s = _expand(g_rgb)                                     # [NS, 3]
-    gc = jnp.sum(g_rgb_s * m["rgb"], axis=1, keepdims=True)      # [NS, 1]
-    gk = gc * wgt
-    p_carry = carry_ref[:, 1:2]
-    p_incl = _expand(p_carry) + _seg_prefix(gk)                  # P_i
-    t_next = jnp.exp(log_T_in + log_att)                         # T_{i+1}
-    dla = (s_tot - p_incl) - t_next * gc + tfin_gbg              # [NS, 1]
-    dsigma = dla * (-cfg.step_size) * _expand(rays[:, _C_DS:_C_DS + 1])
+        # G_k = sum_c g_c * c_k * w_k, per sample
+        g_rgb_s = _expand(g_rgb)                                 # [NS, 3]
+        gc = jnp.sum(g_rgb_s * m["rgb"], axis=1, keepdims=True)  # [NS, 1]
+        gk = gc * wgt
+        p_carry = carry_ref[:, 1:2]
+        p_incl = _expand(p_carry) + _seg_prefix(gk)              # P_i
+        t_next = jnp.exp(log_T_in + log_att)                     # T_{i+1}
+        dla = (s_tot - p_incl) - t_next * gc + tfin_gbg          # [NS, 1]
+        dsigma = dla * (-cfg.step_size) * _expand(rays[:, _C_DS:_C_DS + 1])
 
-    carry_ref[:, 0:1] = carry_logT + la_total
-    carry_ref[:, 1:2] = p_carry + _reduce(gk)
+        carry_ref[:, 0:1] = carry_logT + la_total
+        carry_ref[:, 1:2] = p_carry + _reduce(gk)
 
-    # per-sample channel-lane gradients
-    dsig_s = dsigma * m["thresh_gate"] * m["relu_gate"]          # [NS, 1]
-    dc = g_rgb_s * wgt * m["clamp_gate"]                         # [NS, 3]
-    dval28 = jnp.concatenate(
-        [dsig_s] + [dc[:, c:c + 1] * m["shm_s"] for c in range(3)], axis=1
-    )                                                            # [NS, 28]
-    dval_t = jnp.concatenate([dval28] * 4, axis=1)               # [NS, 112]
-    dval_t = jnp.pad(dval_t, ((0, 0), (0, LANES - 4 * CH)))
-    liota = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 1)
-    k_l = liota // CH
-    gmat = dval_t * (
-        (k_l == m["zr"]).astype(jnp.float32) * (1.0 - m["fz"])
-        + (k_l == m["zr"] + 1).astype(jnp.float32) * m["fz"]
-    )                                                            # [NS, 128]
+        # per-sample channel-lane gradients
+        dsig_s = dsigma * m["thresh_gate"] * m["relu_gate"]      # [NS, 1]
+        dc = g_rgb_s * wgt * m["clamp_gate"]                     # [NS, 3]
+        dval28 = jnp.concatenate(
+            [dsig_s] + [dc[:, c:c + 1] * m["shm_s"] for c in range(3)],
+            axis=1,
+        )                                                        # [NS, 28]
+        dval_t = jnp.concatenate([dval28] * 4, axis=1)           # [NS, 112]
+        dval_t = jnp.pad(dval_t, ((0, 0), (0, LANES - 4 * CH)))
+        liota = jax.lax.broadcasted_iota(jnp.int32, (NS, LANES), 1)
+        k_l = liota // CH
+        gmat = dval_t * (
+            (k_l == m["zr"]).astype(jnp.float32) * (1.0 - m["fz"])
+            + (k_l == m["zr"] + 1).astype(jnp.float32) * m["fz"]
+        )                                                        # [NS, 128]
 
-    gbox = jax.lax.dot_general(
-        m["A"], gmat.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                            # [NROWS, 128]
+        gbox = jax.lax.dot_general(
+            m["A"], gmat.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # [NROWS, 128]
 
-    rd.wait()
-    gcur[...] += gbox.reshape(GB, BX, BY, LANES)
-    wr = pltpu.make_async_copy(
-        gcur, gtab_out.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :], wsem
-    )
-    wr.start()
-    wr.wait()
+        rd.wait()
+        gcur[...] += gbox.reshape(GB, BX, BY, LANES)
+        wr = pltpu.make_async_copy(
+            gcur,
+            gtab_out.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :],
+            wsem,
+        )
+        wr.start()
+        wr.wait()
+
+    del gtab_in
 
 
 # ---------------------------------------------------------------------------
@@ -660,7 +713,7 @@ def voxel_render_rays_fast(grid: VoxelGrid, rays_o, rays_d,
             [rays_o, jnp.broadcast_to(rays_o[-1:], (n_pad - n, 3))])
         rays_d = jnp.concatenate(
             [rays_d, jnp.broadcast_to(rays_d[-1:], (n_pad - n, 3))])
-    blocks = build_blocks(rays_o, rays_d, cfg)
+    blocks = build_blocks(rays_o, rays_d, cfg, occupancy_mip(grid, cfg))
     table = pack_table(grid, cfg)
     out = render_blocks(table, blocks.rays, blocks.corners, blocks.valid, cfg)
     out = out.reshape(n_pad, 8)[:n]

@@ -132,7 +132,8 @@ class PlenoxelsTrainer:
                 if use_kernel:
                     # Fused Pallas path (the volume_render_cuvol_fused
                     # analog).  Spread-violating blocks drop out of the loss.
-                    blocks = vp.build_blocks(origins, dirs, gcfg)
+                    blocks = vp.build_blocks(
+                        origins, dirs, gcfg, vp.occupancy_mip(grid, gcfg))
                     table = vp.pack_table(grid, gcfg)
                     kout = vp.render_blocks(
                         table, blocks.rays, blocks.corners, blocks.valid, gcfg
@@ -150,6 +151,9 @@ class PlenoxelsTrainer:
                 reg = reg + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive)
                 per_ray_err = jnp.max(jnp.abs(out["rgb"] - rgb), -1)
                 return mse + reg, (mse, per_ray_err, eff_mask)
+
+            # (loss aux carries eff_mask so the epoch MSE can be weighted by
+            # the number of rays that actually contributed)
 
             (loss, (mse, per_ray_err, eff_mask)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -185,13 +189,13 @@ class PlenoxelsTrainer:
                 state.grid._replace(density=new_density, sh=new_sh),
                 rms_d, rms_s, state.step + 1,
             )
-            return new_state, err_buf, mse
+            return new_state, err_buf, (mse, jnp.sum(eff_mask))
 
         def chunk_fn(state, err_buf, origins, dirs, rgb, leaf, mask):
             def body(carry, xs):
                 st, buf = carry
-                st, buf, mse = one_step(st, buf, xs)
-                return (st, buf), mse
+                st, buf, mse_cnt = one_step(st, buf, xs)
+                return (st, buf), mse_cnt
 
             (state, err_buf), mses = jax.lax.scan(
                 body, (state, err_buf), (origins, dirs, rgb, leaf, mask)
@@ -316,14 +320,19 @@ class PlenoxelsTrainer:
                 for a in (origins, dirs, rgb, leaf, mask)
             ]
             self.state, err_buf, m = chunk_fn(self.state, err_buf, *args)
-            mses.append(np.asarray(m))
+            mses.append((np.asarray(m[0]), np.asarray(m[1])))
 
         err_sum, err_cnt = err_buf
         stat = np.asarray(err_sum)[: epoch.n_leaves] / np.maximum(
             np.asarray(err_cnt)[: epoch.n_leaves], 1.0
         )
         stat[np.asarray(err_cnt)[: epoch.n_leaves] == 0] = -np.inf
-        return stat, float(np.concatenate(mses)[-1])
+        # ray-count-weighted epoch MSE over the LAST chunk (batches with no
+        # contributing rays — padding or dropped blocks — report mse 0 and
+        # must not leak into the metric)
+        ms, cs = mses[-1]
+        epoch_mse = float((ms * cs).sum() / max(cs.sum(), 1.0))
+        return stat, epoch_mse
 
     def fit(self, budgeter: RayBudgeter, on_epoch_end=None, verbose=True):
         cfg = self.cfg
