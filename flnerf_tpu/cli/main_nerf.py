@@ -75,6 +75,10 @@ def make_parser():
     parser.add_argument("--n_keep", type=int, default=96)
     parser.add_argument("--steps_per_chunk", type=int, default=16)
     parser.add_argument("--eval_interval", type=int, default=0)
+    # torch-ngp gridencoder capacity (grid.py:91 uses 19).  <=15 runs the
+    # matmul-formulated kernels; >=16 the sorted-block gather engine
+    # (ops/hash_sorted.py), whose cost is capacity-independent.
+    parser.add_argument("--log2_hashmap_size", type=int, default=15)
     return parser
 
 
@@ -123,6 +127,7 @@ def main(argv=None):
     i_train, i_val, i_test = i_split
 
     cfg = NGPConfig(bound=args.bound, desired_resolution=2048,
+                    log2_hashmap_size=args.log2_hashmap_size,
                     bg_radius=max(args.bg_radius, 0.0))
     compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=compute_dtype)

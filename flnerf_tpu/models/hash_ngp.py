@@ -37,6 +37,12 @@ from flnerf_tpu.ops.hash_pallas import (
     init_packed_table,
     make_packed_spec,
 )
+from flnerf_tpu.ops.hash_sorted import (
+    SplitHashSpec,
+    hash_encode_split,
+    init_split_table,
+    make_split_spec,
+)
 from flnerf_tpu.ops.sh_encoding import sh_encode
 
 Params = Dict[str, Any]
@@ -46,10 +52,12 @@ class NGPConfig(NamedTuple):
     num_levels: int = 16
     level_dim: int = 2
     base_resolution: int = 16
-    # TPU default 2^15 (torch-ngp uses 2^19): the Pallas matmul-formulated
-    # scatter/gather costs O(M * T) MAC, so the per-level cap trades a small
-    # amount of fine-level capacity for a large constant-factor speedup.
+    # 2^15 and below runs the matmul-formulated kernels (O(M*T) MAC, cheap
+    # at small T); 2^16+ automatically switches to the sorted-block gather
+    # engine (ops/hash_sorted.py) whose cost is capacity-independent, so
+    # torch-ngp's 2^19 (gridencoder grid.py:91) is affordable on TPU.
     log2_hashmap_size: int = 15
+    split_min_size: int = 1 << 14   # sorted engine: matmul-path level cutoff
     desired_resolution: int = 2048  # x bound
     num_layers: int = 2
     hidden_dim: int = 64
@@ -117,7 +125,18 @@ def ngp_background(params: Params, rays_o, rays_d, cfg: NGPConfig,
     return jax.nn.sigmoid(h).reshape(rays_o.shape[:-1] + (3,))
 
 
-def make_ngp_spec(cfg: NGPConfig) -> PackedHashSpec:
+def make_ngp_spec(cfg: NGPConfig):
+    """PackedHashSpec (matmul kernels) up to 2^15 tables; SplitHashSpec
+    (sorted-block gather engine) for 2^16+."""
+    if cfg.log2_hashmap_size >= 16:
+        return make_split_spec(
+            num_levels=cfg.num_levels,
+            level_dim=cfg.level_dim,
+            base_resolution=cfg.base_resolution,
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            desired_resolution=int(cfg.desired_resolution * cfg.bound),
+            split_min_size=cfg.split_min_size,
+        )
     return make_packed_spec(
         num_levels=cfg.num_levels,
         level_dim=cfg.level_dim,
@@ -138,7 +157,11 @@ def _use_pallas(cfg: NGPConfig) -> bool:
 def init_ngp(key, cfg: NGPConfig) -> Params:
     spec = make_ngp_spec(cfg)
     keys = jax.random.split(key, 1 + cfg.num_layers + cfg.num_layers_color)
-    params: Params = {"table": init_packed_table(keys[0], spec)}
+    params: Params = {
+        "table": init_split_table(keys[0], spec)
+        if isinstance(spec, SplitHashSpec)
+        else init_packed_table(keys[0], spec)
+    }
 
     in_dim = spec.output_dim
     sigma_net = []
@@ -193,7 +216,10 @@ def ngp_density(
     sh = x.shape[:-1]
     x01 = (x.reshape(-1, 3) / cfg.bound + 1.0) * 0.5
     x01 = jnp.clip(x01, 0.0, 1.0)
-    if _use_pallas(cfg):
+    if isinstance(spec, SplitHashSpec):
+        enc = hash_encode_split(x01, params["table"], spec, cfg.hash_chunk,
+                                use_kernels=_use_pallas(cfg))
+    elif _use_pallas(cfg):
         enc = hash_encode_pallas(x01, params["table"], spec, cfg.hash_chunk)
     else:
         enc = hash_encode_xla(x01, params["table"], spec)

@@ -7,23 +7,32 @@ which kills per-step locality sorting; a bitonic network is pure VPU work.
 Layout: [N] arrays viewed as [N/128, 128] (row-major: element i lives at
 row i >> 7, lane i & 127).  A compare-exchange at distance d is:
 
-  * d >= 128: partner rows r and r^(d/128) — reshape the row axis to
-    [blocks, 2, d/128] and slice the halves: NO gathers, pure static
-    slicing;
+  * d >= 128: partner rows r and r^(d/128) — two sublane rotations
+    (pltpu.roll takes traced shifts) selected by the r&dr bit: for rows
+    with the bit clear the partner is r+dr (roll by R-dr), else r-dr
+    (roll by dr).  Wraparound rows are always masked out by the select.
   * d < 128: partner lanes l and l^d — one lane-wise dynamic_gather
     (the butterfly permutation), the only hardware gather on this chip.
 
-Ascending/descending direction per element comes from iota bit math.
-Cost model ~ O(N log^2 N / 1024) VPU cycles: ~0.2 ms for 2^17 keys (vs
-~10 ms+ for XLA sort at that size).
+The log^2(N)/2 (stage, substage) pairs are a precomputed int32 schedule
+in SMEM; the network is ONE lax.fori_loop whose body reads (stage_bit,
+distance) — the Mosaic module stays O(1) in N (the fully-unrolled
+variant in git history exceeded the compiler's practical module size at
+useful N).  Ascending/descending direction per element is iota bit math;
+all mask algebra stays in int32 (Mosaic cannot truncate i8 vectors to i1).
 
-STATUS: semantics are complete and pinned by tests (interpret mode);
-the TPU build currently chokes on the fully-unrolled network at useful
-sizes (log^2 N substages of whole-array ops make a very large Mosaic
-module).  Round-3 work: re-express the substage loop as a fori_loop with
-the butterfly distance as a static schedule (pltpu.roll takes traced
-shifts; the row butterflies need a d-indexed lax.switch), which bounds
-the module size at O(log N) bodies.
+Supports a batch axis (grid-parallel independent sorts — one per hash
+level) and up to a few int32 payload columns.  Float payloads should be
+bitcast to int32 by the caller (payload order never affects compares).
+
+VMEM bound: carry + partner temporaries are ~2.5x the operand bytes, so
+(1 + n_payloads) * N * 4B should stay well under ~12MB: N <= 2^19 with
+one payload, N <= 2^18 with three.
+
+Measured (round 2, single axon v5e-lite tile, f32/int32):
+  N=2^17, 1 payload: 0.62 ms   N=2^17, 2 payloads: 0.78 ms
+  N=2^18, 1 payload: 1.22 ms   N=2^20, 1 payload: 5.9 ms
+(XLA jnp.sort alone at 2^17: ~13 ms; sort_key_val pairs: ~islands more.)
 """
 
 from __future__ import annotations
@@ -32,85 +41,119 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
 
-def _lane_butterfly(x, d):
-    """x[i, j] <-> x[i, j ^ d] partner values (d < 128)."""
-    liota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.take_along_axis(x, liota ^ d, axis=1,
-                               mode="promise_in_bounds")
+def _make_schedule(n: int) -> np.ndarray:
+    """[S, 2] int32 rows of (stage_bit, distance) for the full network."""
+    log_n = n.bit_length() - 1
+    rows = []
+    for stage in range(1, log_n + 1):
+        for sub in range(stage - 1, -1, -1):
+            rows.append((1 << stage, 1 << sub))
+    return np.asarray(rows, np.int32)
 
 
-def _row_butterfly(x, dr):
-    """x[r, :] <-> x[r ^ dr, :] partner values (dr = d / 128 rows)."""
-    rows = x.shape[0]
-    g = x.reshape(rows // (2 * dr), 2, dr, LANES)
-    swapped = jnp.concatenate([g[:, 1:2], g[:, 0:1]], axis=1)
-    return swapped.reshape(rows, LANES)
-
-
-def _sort_kernel(k_ref, v_ref, ko_ref, vo_ref, *, n: int):
-    keys = k_ref[...]
-    vals = v_ref[...]
-    rows = keys.shape[0]
+def _sort_kernel(bits_ref, dist_ref, *refs, n_arrays: int, interpret: bool):
+    in_refs = refs[:n_arrays]
+    out_refs = refs[n_arrays:]
+    arrays = [r[0] for r in in_refs]            # [rows, LANES] each
+    rows = arrays[0].shape[0]
     riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     liota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    gidx = riota * LANES + liota                       # global element index
+    gidx = riota * LANES + liota                # global element index
+    n_sub = bits_ref.shape[0]
 
-    log_n = n.bit_length() - 1
-    for stage in range(1, log_n + 1):
-        # ascending iff bit `stage` of the global index is 0.  All mask
-        # logic stays in int32: Mosaic cannot truncate i8 vectors to i1,
-        # so boolean-vector algebra does not lower.
-        up = ((gidx & (1 << stage)) == 0).astype(jnp.int32)
-        for sub in range(stage - 1, -1, -1):
-            d = 1 << sub
-            if d < LANES:
-                pk = _lane_butterfly(keys, d)
-                pv = _lane_butterfly(vals, d)
+    def body(i, carry):
+        keys = carry[0]
+        sbit = bits_ref[i]
+        d = dist_ref[i]
+
+        def lane_partner(a, d):
+            return jnp.take_along_axis(a, liota ^ d, axis=1,
+                                       mode="promise_in_bounds")
+
+        def row_partner(a, d):
+            dr = d // LANES
+            # roll(x, s)[r] = x[(r - s) mod rows]: partner r+dr needs
+            # s = rows - dr, partner r-dr needs s = dr.
+            if interpret:
+                plus = jnp.roll(a, rows - dr, axis=0)
+                minus = jnp.roll(a, dr, axis=0)
             else:
-                pk = _row_butterfly(keys, d // LANES)
-                pv = _row_butterfly(vals, d // LANES)
-            is_low = ((gidx & d) == 0).astype(jnp.int32)
-            keep_min = 1 - (is_low ^ up)
-            gt = (keys > pk).astype(jnp.int32)
-            lt = (keys < pk).astype(jnp.int32)
-            # strict comparisons: ties never swap (keeps payloads intact)
-            take = keep_min * gt + (1 - keep_min) * lt
-            keys = jnp.where(take > 0, pk, keys)
-            vals = jnp.where(take > 0, pv, vals)
-    ko_ref[...] = keys
-    vo_ref[...] = vals
+                plus = pltpu.roll(a, rows - dr, axis=0)
+                minus = pltpu.roll(a, dr, axis=0)
+            low = ((riota & dr) == 0).astype(jnp.int32)
+            return jnp.where(low > 0, plus, minus)
+
+        def partner(a):
+            return jax.lax.cond(d < LANES, lane_partner, row_partner, a, d)
+
+        pk = partner(keys)
+        # ascending iff bit `stage` of the global index is 0
+        up = ((gidx & sbit) == 0).astype(jnp.int32)
+        is_low = ((gidx & d) == 0).astype(jnp.int32)
+        keep_min = 1 - (is_low ^ up)
+        gt = (keys > pk).astype(jnp.int32)
+        lt = (keys < pk).astype(jnp.int32)
+        # strict comparisons: ties never swap (keeps payloads intact)
+        take = keep_min * gt + (1 - keep_min) * lt > 0
+        out = [jnp.where(take, pk, keys)]
+        for v in carry[1:]:
+            out.append(jnp.where(take, partner(v), v))
+        return tuple(out)
+
+    arrays = jax.lax.fori_loop(0, n_sub, body, tuple(arrays))
+    for o, a in zip(out_refs, arrays):
+        o[0] = a
 
 
-@functools.lru_cache(maxsize=16)
-def _sort_call(n: int, interpret: bool):
+@functools.lru_cache(maxsize=32)
+def _sort_call(g: int, n: int, n_arrays: int, interpret: bool):
     rows = n // LANES
-    return pl.pallas_call(
-        functools.partial(_sort_kernel, n=n),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-        ],
+    sched = _make_schedule(n)
+    smem = pl.BlockSpec((sched.shape[0],), lambda b: (0,),
+                        memory_space=pltpu.SMEM)
+    tile = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_sort_kernel, n_arrays=n_arrays,
+                          interpret=interpret),
+        grid=(g,),
+        in_specs=[smem, smem] + [tile] * n_arrays,
+        out_specs=tuple(tile for _ in range(n_arrays)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((g, rows, LANES), jnp.int32)
+            for _ in range(n_arrays)
+        ),
         interpret=interpret,
     )
+    # keep the schedule as NUMPY in the closure: device constants created
+    # here would be cached across traces (tracer-leak hazard under scan)
+    bits = np.ascontiguousarray(sched[:, 0])
+    dist = np.ascontiguousarray(sched[:, 1])
+    # jit the call: eager pallas dispatch costs ~2ms/launch through the
+    # remote tunnel; jitted it is tens of microseconds.
+    return jax.jit(lambda *arrs: call(bits, dist, *arrs))
 
 
-def bitonic_sort(keys: jnp.ndarray, values: jnp.ndarray):
-    """Sort int32 [N] keys ascending, permuting int32 values alongside.
+def bitonic_sort(keys: jnp.ndarray, *values: jnp.ndarray):
+    """Sort int32 keys ascending along the last axis, permuting payloads.
 
-    N must be a power of two and a multiple of 128; keys should be
-    non-negative (int32 compare).  Returns (sorted_keys, values)."""
-    n = keys.shape[0]
+    keys: [N] or [G, N] (G independent sorts).  N must be a power of two
+    and a multiple of 128; keys must be non-negative (int32 compare).
+    Returns (sorted_keys, *permuted_values) with the input shapes.
+    """
+    batched = keys.ndim == 2
+    g, n = keys.shape if batched else (1, keys.shape[0])
     assert n & (n - 1) == 0 and n >= LANES, n
     interpret = jax.default_backend() != "tpu"
-    ks, vs = _sort_call(n, interpret)(
-        keys.reshape(n // LANES, LANES), values.reshape(n // LANES, LANES)
-    )
-    return ks.reshape(n), vs.reshape(n)
+    arrs = [keys] + list(values)
+    arrs = [a.reshape(g, n // LANES, LANES) for a in arrs]
+    outs = _sort_call(g, n, len(arrs), interpret)(*arrs)
+    shape = (g, n) if batched else (n,)
+    return tuple(o.reshape(shape) for o in outs)

@@ -98,12 +98,15 @@ def _leaf_buf_size(n: int) -> int:
 class PlenoxelsTrainer:
     def __init__(self, grid_cfg: VoxelGridConfig, train_cfg: PlenoxelsTrainConfig, mesh=None):
         self.gcfg = grid_cfg
-        if train_cfg.use_kernel and train_cfg.batch_size % vp.RB != 0:
-            train_cfg = train_cfg._replace(
-                batch_size=-(-train_cfg.batch_size // vp.RB) * vp.RB
-            )
-        self.cfg = train_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        if train_cfg.use_kernel:
+            # each device's ray shard must pack into whole RB-ray blocks
+            q = vp.RB * int(self.mesh.devices.size)
+            if train_cfg.batch_size % q != 0:
+                train_cfg = train_cfg._replace(
+                    batch_size=-(-train_cfg.batch_size // q) * q
+                )
+        self.cfg = train_cfg
         grid = init_voxel_grid(grid_cfg)
         rep = replicated(self.mesh)
         self.state = jax.device_put(
@@ -122,6 +125,55 @@ class PlenoxelsTrainer:
     def _make_chunk_fn(self, leaf_buf: int, gcfg: VoxelGridConfig):
         cfg = self.cfg
         use_kernel = cfg.use_kernel
+        n_dev = int(self.mesh.devices.size)
+        shard_kernel = use_kernel and n_dev > 1
+
+        def _kernel_fwd(density, sh, alive, origins, dirs, rgb, mask):
+            """Pallas-path squared-error sum + grads for a ray shard.
+            Returns SUMS (not means) so the multichip psum composes."""
+
+            def raw_loss(train_vars):
+                density, sh = train_vars
+                grid = VoxelGrid(density, sh, alive)
+                # Fused Pallas path (the volume_render_cuvol_fused analog).
+                # Spread-violating blocks drop out of the loss.
+                blocks = vp.build_blocks(
+                    origins, dirs, gcfg, vp.occupancy_mip(grid, gcfg))
+                table = vp.pack_table(grid, gcfg)
+                kout = vp.render_blocks(
+                    table, blocks.rays, blocks.corners, blocks.valid, gcfg)
+                rgb_out = kout.reshape(-1, 8)[:, 0:3]
+                ray_ok = jnp.repeat(blocks.ok.astype(jnp.float32), vp.RB)
+                eff = mask * ray_ok
+                sq = jnp.sum(eff[:, None] * (rgb_out - rgb) ** 2)
+                per_ray_err = jnp.max(jnp.abs(rgb_out - rgb), -1)
+                return sq, (per_ray_err, eff)
+
+            (sq, (per_ray_err, eff)), grads = jax.value_and_grad(
+                raw_loss, has_aux=True)((density, sh))
+            return sq, grads[0], grads[1], per_ray_err, eff
+
+        if shard_kernel:
+            # Multichip kernel path: rays sharded over the data axis (each
+            # device renders its own coherent blocks through the Pallas
+            # kernels — grids replicate, grads psum over ICI); the TV
+            # regularizer is added once outside the psum (DESIGN.md:
+            # multichip plenoxels).
+            def _sharded(density, sh, alive, origins, dirs, rgb, mask):
+                sq, g_d, g_s, per_ray_err, eff = _kernel_fwd(
+                    density, sh, alive, origins, dirs, rgb, mask)
+                sq = jax.lax.psum(sq, DATA_AXIS)
+                g_d = jax.lax.psum(g_d, DATA_AXIS)
+                g_s = jax.lax.psum(g_s, DATA_AXIS)
+                return sq, g_d, g_s, per_ray_err, eff
+
+            sharded_kernel_fwd = jax.shard_map(
+                _sharded, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                check_vma=False,
+            )
 
         def one_step(state: PlenoxelsState, err_buf, xs):
             origins, dirs, rgb, leaf, mask = xs
@@ -129,21 +181,8 @@ class PlenoxelsTrainer:
             def loss_fn(train_vars):
                 density, sh = train_vars
                 grid = state.grid._replace(density=density, sh=sh)
-                if use_kernel:
-                    # Fused Pallas path (the volume_render_cuvol_fused
-                    # analog).  Spread-violating blocks drop out of the loss.
-                    blocks = vp.build_blocks(
-                        origins, dirs, gcfg, vp.occupancy_mip(grid, gcfg))
-                    table = vp.pack_table(grid, gcfg)
-                    kout = vp.render_blocks(
-                        table, blocks.rays, blocks.corners, blocks.valid, gcfg
-                    )
-                    out = {"rgb": kout.reshape(-1, 8)[:, 0:3]}
-                    ray_ok = jnp.repeat(blocks.ok.astype(jnp.float32), vp.RB)
-                    eff_mask = mask * ray_ok
-                else:
-                    out = voxel_render_rays(grid, origins, dirs, gcfg)
-                    eff_mask = mask
+                out = voxel_render_rays(grid, origins, dirs, gcfg)
+                eff_mask = mask
                 m = eff_mask[:, None]
                 denom = jnp.maximum(jnp.sum(eff_mask), 1.0) * 3.0
                 mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
@@ -152,13 +191,31 @@ class PlenoxelsTrainer:
                 per_ray_err = jnp.max(jnp.abs(out["rgb"] - rgb), -1)
                 return mse + reg, (mse, per_ray_err, eff_mask)
 
+            def reg_grads(train_vars):
+                density, sh = train_vars
+                return (cfg.lambda_tv * tv_loss(density, state.grid.alive)
+                        + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive))
+
             # (loss aux carries eff_mask so the epoch MSE can be weighted by
             # the number of rays that actually contributed)
-
-            (loss, (mse, per_ray_err, eff_mask)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )((state.grid.density, state.grid.sh))
-            g_density, g_sh = grads
+            if use_kernel:
+                tv = (state.grid.density, state.grid.sh)
+                fwd = sharded_kernel_fwd if shard_kernel else (
+                    lambda *a: _kernel_fwd(*a))
+                sq, g_density, g_sh, per_ray_err, eff_mask = fwd(
+                    state.grid.density, state.grid.sh, state.grid.alive,
+                    origins, dirs, rgb, mask)
+                denom = jnp.maximum(jnp.sum(eff_mask), 1.0) * 3.0
+                mse = sq / denom
+                # SUM-loss grads -> mean-loss grads, + TV added once
+                rg = jax.grad(reg_grads)(tv)
+                g_density = g_density / denom + rg[0]
+                g_sh = g_sh / denom + rg[1]
+            else:
+                (loss, (mse, per_ray_err, eff_mask)), grads = (
+                    jax.value_and_grad(loss_fn, has_aux=True)(
+                        (state.grid.density, state.grid.sh)))
+                g_density, g_sh = grads
 
             step_f = state.step.astype(jnp.float32)
             lr_sigma = expon_lr(
@@ -203,7 +260,7 @@ class PlenoxelsTrainer:
             return state, err_buf, mses
 
         data_sh = (
-            replicated(self.mesh) if use_kernel
+            replicated(self.mesh) if (use_kernel and not shard_kernel)
             else NamedSharding(self.mesh, P(None, DATA_AXIS))
         )
         rep = replicated(self.mesh)
@@ -307,8 +364,9 @@ class PlenoxelsTrainer:
         chunk_fn = self._chunk_fn(leaf_buf)
         rep = replicated(self.mesh)
         err_buf = jax.device_put((jnp.zeros((leaf_buf,)), jnp.zeros((leaf_buf,))), rep)
+        n_dev = int(self.mesh.devices.size)
         data_sh = (
-            replicated(self.mesh) if cfg.use_kernel
+            replicated(self.mesh) if (cfg.use_kernel and n_dev == 1)
             else NamedSharding(self.mesh, P(None, DATA_AXIS))
         )
 

@@ -1,0 +1,134 @@
+"""Sorted-block gather hash engine vs the flat-table oracle (interpret mode).
+
+Tier: kernel-vs-pure-JAX parity + gradcheck (SURVEY.md §4).  The engine
+packs features/grads as bf16 pairs through the unsort, so tolerances are
+bf16-truncation-sized relative to the table magnitude.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from flnerf_tpu.ops.hash_encoding import hash_encode
+from flnerf_tpu.ops.hash_sorted import (
+    hash_encode_sorted,
+    hash_encode_split,
+    init_split_table,
+    make_split_spec,
+    spill_fraction,
+    split_from_flat,
+)
+
+
+def _spec(log2=12, levels=6, split_min=1 << 10):
+    return make_split_spec(
+        num_levels=levels, level_dim=2, base_resolution=4,
+        log2_hashmap_size=log2, desired_resolution=64,
+        split_min_size=split_min,
+    )
+
+
+def _flat_table(spec, rng):
+    t = int(spec.base.offsets[-1])
+    return rng.standard_normal((t, spec.level_dim)).astype(np.float32)
+
+
+def test_split_spec_is_prefix_suffix():
+    spec = _spec()
+    assert spec.n_small + spec.n_big == spec.num_levels
+    assert spec.n_small >= 1 and spec.n_big >= 1
+    # sizes nondecreasing -> the split threshold is honored on both sides
+    assert all(s < (1 << 10) for s in spec.base.sizes[:spec.n_small])
+    assert all(s >= (1 << 10) for s in spec.base.sizes[spec.n_small:])
+
+
+def test_sorted_fwd_matches_oracle():
+    spec = _spec()
+    rng = np.random.default_rng(0)
+    flat = _flat_table(spec, rng)
+    tables = split_from_flat(jnp.asarray(flat), spec)
+    x = rng.random((300, 3)).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(hash_encode_split(jnp.asarray(x), tables, spec))
+    want = np.asarray(hash_encode(jnp.asarray(x), jnp.asarray(flat),
+                                  spec.base))
+    # big-group features ride the unsort as truncated bf16 (rel ~2^-8)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)
+
+
+def test_sorted_bwd_matches_oracle():
+    spec = _spec()
+    rng = np.random.default_rng(1)
+    flat = _flat_table(spec, rng)
+    tables = split_from_flat(jnp.asarray(flat), spec)
+    x = jnp.asarray(rng.random((256, 3)).astype(np.float32))
+    cot = jnp.asarray(
+        rng.standard_normal((256, spec.output_dim)).astype(np.float32))
+
+    def loss_split(ts, tb):
+        return jnp.sum(hash_encode_split(x, (ts, tb), spec) * cot)
+
+    def loss_flat(f):
+        return jnp.sum(hash_encode(x, f, spec.base) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        gs, gb = jax.grad(loss_split, argnums=(0, 1))(tables[0], tables[1])
+    gflat = jax.grad(loss_flat)(jnp.asarray(flat))
+    ws, wb = split_from_flat(gflat, spec)   # same (linear) layout map
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                               atol=3e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(wb),
+                               atol=3e-2, rtol=2e-2)
+
+
+def test_sorted_only_group_and_padding():
+    """N not a multiple of the sort chunk; all levels on the sorted path."""
+    spec = _spec(split_min=1)        # n_small == 0
+    assert spec.small is None and spec.n_big == spec.num_levels
+    rng = np.random.default_rng(2)
+    flat = _flat_table(spec, rng)
+    _, tb = split_from_flat(jnp.asarray(flat), spec)
+    x = rng.random((193, 3)).astype(np.float32)
+    got = np.asarray(hash_encode_sorted(jnp.asarray(x), tb, spec))
+    want = np.asarray(hash_encode(jnp.asarray(x), jnp.asarray(flat),
+                                  spec.base))
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)
+
+
+def test_spill_fraction_is_zero_at_scale():
+    """Hash-distributed keys at step scale never exceed the slab budget."""
+    spec = _spec()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2048, 3)).astype(np.float32))
+    assert float(spill_fraction(x, spec)) == 0.0
+
+
+def test_spill_fraction_clustered_points():
+    """Pathological input (all points in one cell) still spills nothing:
+    duplicate keys have zero span."""
+    spec = _spec()
+    x = jnp.full((1024, 3), 0.3721, jnp.float32)
+    assert float(spill_fraction(x, spec)) == 0.0
+
+def test_ngp_field_split_table_grads():
+    """log2_hashmap_size >= 16 switches the NGP field to the split/sorted
+    engine: params['table'] becomes (small, big) and grads flow to both."""
+    from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
+
+    cfg = NGPConfig(num_levels=6, base_resolution=4, desired_resolution=64,
+                    log2_hashmap_size=16, bound=1.0)
+    init_fn, density_fn, _ = make_ngp_field(cfg, jnp.float32)
+    params = init_fn(jax.random.PRNGKey(0))
+    assert isinstance(params["table"], tuple) and len(params["table"]) == 2
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3)) * 2.0 - 1.0
+
+    def loss(p):
+        sigma, _ = density_fn(p, x)
+        return jnp.sum(sigma)
+
+    g = jax.grad(loss)(params)
+    gs, gb = g["table"]
+    assert float(jnp.sum(jnp.abs(gs))) > 0.0
+    assert float(jnp.sum(jnp.abs(gb))) > 0.0

@@ -158,3 +158,49 @@ def test_plenoxels_kernel_e2e_training_improves():
     t.fit(b, verbose=False)
     p1, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=576)
     assert p1 > p0 + 2.0, (p0, p1)
+
+
+def test_kernel_multichip_matches_single_device():
+    """The shard_map'd kernel train path (rays sharded over the data axis,
+    grid replicated, grads psum'd) must produce the same step as the
+    single-device path — DESIGN.md known-gap 'multichip plenoxels'."""
+    from flnerf_tpu.parallel.mesh import make_mesh
+    from flnerf_tpu.rays.quadtree import RayEpoch
+    from flnerf_tpu.train.plenoxels_trainer import (
+        PlenoxelsTrainConfig,
+        PlenoxelsTrainer,
+    )
+
+    gcfg = VoxelGridConfig(
+        reso=(32, 32, 32), radius=(1.2, 1.2, 1.2), max_steps=48,
+        step_size=0.9, init_sigma=0.1,
+    )
+    tcfg = PlenoxelsTrainConfig(
+        n_epoch=1, batch_size=vp.RB * len(jax.devices()), steps_per_chunk=1,
+        lr_sigma=1e1, lr_sh=1e-2, lr_sigma_delay_steps=0,
+        lambda_tv=1e-5, lambda_tv_sh=1e-3, use_kernel=True,
+    )
+    rng = np.random.default_rng(0)
+    n = tcfg.batch_size
+    o = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (n, 1))
+    d = rng.standard_normal((n, 3)).astype(np.float32) * 0.05
+    d[:, 2] += 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    epoch = RayEpoch(
+        origins=o, dirs=d, rgb=rng.random((n, 3)).astype(np.float32),
+        leaf_id=np.zeros(n, np.int32), n_leaves=1,
+    )
+
+    multi = PlenoxelsTrainer(gcfg, tcfg)                       # full mesh
+    single = PlenoxelsTrainer(gcfg, tcfg,
+                              mesh=make_mesh(jax.devices()[:1]))
+    _, mse_m = multi.run_epoch_rays(epoch)
+    _, mse_s = single.run_epoch_rays(epoch)
+    assert np.isfinite(mse_m)
+    np.testing.assert_allclose(mse_m, mse_s, rtol=1e-4)
+    # RMSProp normalizes by |g|, so float-associativity differences (psum
+    # order) in tiny gradients move the update by O(lr * ulp-sign); the
+    # invariant is agreement at step scale, not bitwise state equality.
+    np.testing.assert_allclose(
+        np.asarray(multi.state.grid.density),
+        np.asarray(single.state.grid.density), atol=1e-2)
