@@ -94,14 +94,17 @@ def _sort_kernel(bits_ref, dist_ref, *refs, n_arrays: int, interpret: bool):
             return jax.lax.cond(d < LANES, lane_partner, row_partner, a, d)
 
         pk = partner(keys)
-        # ascending iff bit `stage` of the global index is 0
-        up = ((gidx & sbit) == 0).astype(jnp.int32)
-        is_low = ((gidx & d) == 0).astype(jnp.int32)
-        keep_min = 1 - (is_low ^ up)
+        # keep-min iff bit `stage` (direction) == bit `sub` (low/high
+        # element): with t = gidx & (sbit | d), that is t == 0 or
+        # t == sbit + d — two compares instead of the two-bit-test xor
+        t = gidx & (sbit + d)
+        keep_min = (t == 0) | (t == sbit + d)
+        # strict comparisons: ties never swap (keeps payloads intact).
+        # NOTE: the selected OPERANDS must be int32 — select_n on i1
+        # operands lowers through an i8->i1 trunci Mosaic rejects.
         gt = (keys > pk).astype(jnp.int32)
         lt = (keys < pk).astype(jnp.int32)
-        # strict comparisons: ties never swap (keeps payloads intact)
-        take = keep_min * gt + (1 - keep_min) * lt > 0
+        take = jnp.where(keep_min, gt, lt) > 0
         out = [jnp.where(take, pk, keys)]
         for v in carry[1:]:
             out.append(jnp.where(take, partner(v), v))

@@ -132,33 +132,16 @@ def mark_untrained_grid(
     return occ._replace(density=jnp.asarray(density.reshape(g, g, g)))
 
 
-def update_occupancy(
-    occ: OccupancyState,
-    params,
-    density_fn: Callable,
-    key,
-    cfg: NGPRenderConfig,
-    chunk: int = 1 << 16,
-) -> OccupancyState:
-    """Refresh the density grid by querying the field at jittered cell
-    centers; EMA max decay (update_extra_state, renderer.py:445-538).
-
-    Full refresh (the reference's partial random/occupied resample is an
-    optimization for Python-loop overhead; under jit the full pass is a
-    single fused gather+MLP sweep).
-    """
-    g = cfg.grid_size
-    idx = jnp.arange(g)
-    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
-    cells = jnp.stack([gx, gy, gz], -1).reshape(-1, 3).astype(jnp.float32)
+def _density_sweep(params, density_fn, cells, key, g: int,
+                   cfg: NGPRenderConfig, chunk: int):
+    """Field sigma at jittered cell centers, scan-chunked.  lax.scan (not
+    a Python loop) so XLA SEQUENCES the chunks: unrolled chunks schedule
+    concurrently and their hash-encoding temporaries stack up to tens of
+    GB at grid_size 128."""
     jitter = jax.random.uniform(key, cells.shape)
     xyz = ((cells + jitter) / g * 2.0 - 1.0) * cfg.bound
-
     n = xyz.shape[0]
     chunk = min(chunk, n)
-    # lax.scan (not a Python loop) so XLA SEQUENCES the chunks: unrolled
-    # chunks schedule concurrently and their hash-encoding temporaries
-    # stack up to tens of GB at grid_size 128
     xyz_c = jax.lax.stop_gradient(xyz).reshape(n // chunk, chunk, 3)
 
     def body(carry, xc):
@@ -166,17 +149,72 @@ def update_occupancy(
         return carry, s
 
     _, sigma = jax.lax.scan(body, 0, xyz_c)
-    sigma = sigma.reshape(g, g, g) * cfg.density_scale
+    return sigma.reshape(-1) * cfg.density_scale
 
-    # untrained cells (marked -1 by mark_untrained_grid) stay pinned at -1,
-    # matching the reference's density_grid >= 0 update guard
-    new_density = jnp.where(
-        occ.density < 0,
-        occ.density,
-        jnp.maximum(occ.density * cfg.decay, sigma),
-    )
-    mean_density = jnp.mean(jnp.clip(new_density, 0.0, None))
-    return OccupancyState(new_density, mean_density)
+
+def update_occupancy(
+    occ: OccupancyState,
+    params,
+    density_fn: Callable,
+    key,
+    cfg: NGPRenderConfig,
+    chunk: int = 1 << 16,
+    partial: bool = False,
+) -> OccupancyState:
+    """Refresh the density grid by querying the field at jittered cell
+    centers; EMA max decay (update_extra_state, renderer.py:445-538).
+
+    partial=False sweeps the full grid (the reference's first-16-updates
+    behavior).  partial=True resamples a random strided EIGHTH of the
+    cells (one of the 8 (x, y, z) parity classes) while still decaying
+    the whole grid — the steady-state analog of the reference's partial
+    random resample (renderer.py:466-506), and 8x cheaper: the full
+    128^3 sweep costs ~1.1 s of field evals on this chip (~70 ms/step
+    amortized at the default 16-step interval).
+
+    Untrained cells (marked -1 by mark_untrained_grid) stay pinned at -1,
+    matching the reference's density_grid >= 0 update guard."""
+    g = cfg.grid_size
+    decayed = jnp.where(
+        occ.density < 0, occ.density, occ.density * cfg.decay)
+
+    if not partial:
+        idx = jnp.arange(g)
+        gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        cells = jnp.stack([gx, gy, gz], -1).reshape(-1, 3).astype(jnp.float32)
+        sigma = _density_sweep(params, density_fn, cells, key, g, cfg,
+                               chunk).reshape(g, g, g)
+        new_density = jnp.where(
+            occ.density < 0, occ.density, jnp.maximum(decayed, sigma))
+        return OccupancyState(
+            new_density, jnp.mean(jnp.clip(new_density, 0.0, None)))
+
+    gh = g // 2
+    kp, kj = jax.random.split(key)
+    parity = jax.random.randint(kp, (3,), 0, 2)
+    idx = jnp.arange(gh)
+    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    cells = (jnp.stack([gx, gy, gz], -1).reshape(-1, 3) * 2
+             + parity[None, :]).astype(jnp.float32)
+    sigma = _density_sweep(params, density_fn, cells, kj, g, cfg,
+                           chunk).reshape(gh, gh, gh)
+
+    # strided write-back with NO scatter: view the grid as parity-major
+    # [2, 2, 2, gh, gh, gh] and dynamic-update the sampled parity class
+    d6 = jnp.transpose(
+        decayed.reshape(gh, 2, gh, 2, gh, 2), (1, 3, 5, 0, 2, 4))
+    sub = jax.lax.dynamic_slice(
+        d6, (parity[0], parity[1], parity[2], 0, 0, 0),
+        (1, 1, 1, gh, gh, gh))
+    pinned = sub < 0
+    new_sub = jnp.where(pinned, sub,
+                        jnp.maximum(sub, sigma[None, None, None]))
+    d6 = jax.lax.dynamic_update_slice(
+        d6, new_sub, (parity[0], parity[1], parity[2], 0, 0, 0))
+    new_density = jnp.transpose(
+        d6, (3, 0, 4, 1, 5, 2)).reshape(g, g, g)
+    return OccupancyState(
+        new_density, jnp.mean(jnp.clip(new_density, 0.0, None)))
 
 
 def ngp_render_rays(

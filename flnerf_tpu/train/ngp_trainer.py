@@ -45,6 +45,9 @@ class NGPTrainConfig(NamedTuple):
     lr: float = 1e-2
     steps_per_chunk: int = 16      # == occupancy update cadence
     occ_update_every: int = 1      # in chunks
+    full_refreshes: int = 16       # full-grid updates before switching to
+                                   # partial strided-eighth refreshes
+                                   # (renderer.py:455-466: 16 full passes)
     use_prob_map: bool = False     # variance-based image probs (quadtree.py:5)
     use_error_map: bool = False    # --error_map: 128x128 EMA maps (utils.py:505-527)
     all_pixel_at: float = 1.0      # fraction of training after which probs
@@ -225,24 +228,28 @@ class NGPTrainer:
         density_fn = self.density_fn
         rcfg = self.rcfg
 
+        import functools
+
         if self.cfg.time_dependent:
             # refresh at a random timestamp per update (the dnerf renderer
             # samples t when refreshing its grid)
-            @jax.jit
-            def occ_fn(occ, params, key):
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def occ_fn(occ, params, key, partial):
                 kt, ku = jax.random.split(key)
                 t = jax.random.uniform(kt, ())
 
                 def density_at_t(p, x):
                     return density_fn(p, x, jnp.full(x.shape[:-1], t))
 
-                return update_occupancy(occ, params, density_at_t, ku, rcfg)
+                return update_occupancy(occ, params, density_at_t, ku, rcfg,
+                                        partial=partial)
 
         else:
 
-            @jax.jit
-            def occ_fn(occ, params, key):
-                return update_occupancy(occ, params, density_fn, key, rcfg)
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def occ_fn(occ, params, key, partial):
+                return update_occupancy(occ, params, density_fn, key, rcfg,
+                                        partial=partial)
 
         return occ_fn
 
@@ -251,13 +258,18 @@ class NGPTrainer:
         rcfg, cfg, tx = self.rcfg, self.cfg, self.tx
 
         bg_fn = self.bg_fn
+        n_dev = int(self.mesh.devices.size)
+        # multichip: shard_map the fwd+bwd so each device renders its ray
+        # shard through the (opaque-to-GSPMD) Pallas hash kernels locally,
+        # then pmean grads — jit auto-sharding cannot partition custom
+        # calls and would all-gather the batch instead
+        shard_grads = n_dev > 1 and cfg.batch_rays % n_dev == 0
 
-        def one_step(state: NGPTrainState, occ, xs):
-            if cfg.time_dependent:
-                origins, dirs, rgb, times, key = xs
-            else:
-                origins, dirs, rgb, key = xs
-                times = None
+        def fwd_bwd(params, occ, origins, dirs, rgb, key, *t_args):
+            times = t_args[0] if t_args else None
+            if shard_grads:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(DATA_AXIS))
 
             def loss_fn(params):
                 kp, kb = jax.random.split(key)
@@ -287,8 +299,33 @@ class NGPTrainer:
                 return jnp.mean(per_ray), per_ray
 
             (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
+                params
             )
+            if shard_grads:
+                loss = jax.lax.pmean(loss, DATA_AXIS)
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+            return loss, per_ray, grads
+
+        if shard_grads:
+            d_spec = P(DATA_AXIS)
+            fwd_bwd = jax.shard_map(
+                fwd_bwd, mesh=self.mesh,
+                in_specs=(P(), P(), d_spec, d_spec, d_spec, P())
+                + ((d_spec,) if cfg.time_dependent else ()),
+                out_specs=(P(), d_spec, P()),
+                check_vma=False,
+            )
+
+        def one_step(state: NGPTrainState, occ, xs):
+            if cfg.time_dependent:
+                origins, dirs, rgb, times, key = xs
+                t_args = (times,)
+            else:
+                origins, dirs, rgb, key = xs
+                t_args = ()
+
+            loss, per_ray, grads = fwd_bwd(
+                state.params, occ, origins, dirs, rgb, key, *t_args)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             # LambdaLR 0.1 ** (iter / max_steps) (main_nerf.py scheduler)
             lr = cfg.lr * 0.1 ** (
@@ -368,7 +405,14 @@ class NGPTrainer:
                     print("switched to all-pixel (uniform) sampling")
             if ci % cfg.occ_update_every == 0:
                 key, sub = jax.random.split(key)
-                self.occ = self._occ_fn(self.occ, self.state.params, sub)
+                # full sweeps early (grid unconverged), strided-eighth
+                # partial refreshes in steady state (renderer.py:455-466;
+                # a full 128^3 sweep costs ~1.1s of field evals here)
+                n_refresh = int(self.state.step) // (
+                    cfg.occ_update_every * cfg.steps_per_chunk)
+                partial = n_refresh >= cfg.full_refreshes
+                self.occ = self._occ_fn(self.occ, self.state.params, sub,
+                                        partial)
 
             origins, dirs, rgb, img_ids, inds_coarse, times = sampler.sample_chunk(
                 cfg.steps_per_chunk, cfg.batch_rays

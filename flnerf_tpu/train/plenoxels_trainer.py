@@ -99,13 +99,10 @@ class PlenoxelsTrainer:
     def __init__(self, grid_cfg: VoxelGridConfig, train_cfg: PlenoxelsTrainConfig, mesh=None):
         self.gcfg = grid_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
-        if train_cfg.use_kernel:
-            # each device's ray shard must pack into whole RB-ray blocks
-            q = vp.RB * int(self.mesh.devices.size)
-            if train_cfg.batch_size % q != 0:
-                train_cfg = train_cfg._replace(
-                    batch_size=-(-train_cfg.batch_size // q) * q
-                )
+        if train_cfg.use_kernel and train_cfg.batch_size % vp.RB != 0:
+            train_cfg = train_cfg._replace(
+                batch_size=-(-train_cfg.batch_size // vp.RB) * vp.RB
+            )
         self.cfg = train_cfg
         grid = init_voxel_grid(grid_cfg)
         rep = replicated(self.mesh)
@@ -125,8 +122,11 @@ class PlenoxelsTrainer:
     def _make_chunk_fn(self, leaf_buf: int, gcfg: VoxelGridConfig):
         cfg = self.cfg
         use_kernel = cfg.use_kernel
+        # multichip kernel path only when each device's ray shard packs into
+        # whole RB-ray blocks (never inflate the user's batch for it)
         n_dev = int(self.mesh.devices.size)
-        shard_kernel = use_kernel and n_dev > 1
+        shard_kernel = (use_kernel and n_dev > 1
+                        and cfg.batch_size % (vp.RB * n_dev) == 0)
 
         def _kernel_fwd(density, sh, alive, origins, dirs, rgb, mask):
             """Pallas-path squared-error sum + grads for a ray shard.
@@ -365,8 +365,10 @@ class PlenoxelsTrainer:
         rep = replicated(self.mesh)
         err_buf = jax.device_put((jnp.zeros((leaf_buf,)), jnp.zeros((leaf_buf,))), rep)
         n_dev = int(self.mesh.devices.size)
+        kernel_replicated = cfg.use_kernel and (
+            n_dev == 1 or cfg.batch_size % (vp.RB * n_dev) != 0)
         data_sh = (
-            replicated(self.mesh) if (cfg.use_kernel and n_dev == 1)
+            replicated(self.mesh) if kernel_replicated
             else NamedSharding(self.mesh, P(None, DATA_AXIS))
         )
 

@@ -371,3 +371,34 @@ def test_random_bg_compositing_no_bg_model():
     sampler = NGPSampler(rgba, poses[tr], K, tcfg)
     assert sampler.alphas is not None
     t.fit(sampler, verbose=False)
+
+
+def test_partial_occupancy_refresh_strided_eighth():
+    """partial=True decays the whole grid but resamples exactly one (x,y,z)
+    parity class; -1-pinned (untrained) cells never revive."""
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, OccupancyState, update_occupancy,
+    )
+
+    cfg = NGPRenderConfig(grid_size=16, bound=1.0, decay=0.9)
+    g = cfg.grid_size
+    base = jnp.full((g, g, g), 2.0)
+    base = base.at[0, 0, 0].set(-1.0)            # pinned untrained cell
+    occ = OccupancyState(base, jnp.float32(0.0))
+
+    def density_fn(params, x):
+        return jnp.full(x.shape[:-1], 5.0), None
+
+    new = update_occupancy(occ, None, density_fn, jax.random.PRNGKey(0),
+                           cfg, partial=True)
+    d = np.asarray(new.density)
+    assert d[0, 0, 0] == -1.0                    # still pinned
+    refreshed = np.isclose(d, 5.0)
+    decayed = np.isclose(d, 1.8)
+    assert refreshed.sum() + decayed.sum() + 1 == g ** 3
+    # exactly one parity class refreshed (1/8 of cells, minus the pinned
+    # one if it falls in the class)
+    assert abs(int(refreshed.sum()) - g ** 3 // 8) <= 1
+    px, py, pz = np.argwhere(refreshed)[0] % 2
+    cells = np.argwhere(refreshed)
+    assert ((cells % 2) == [px, py, pz]).all()

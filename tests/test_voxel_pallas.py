@@ -158,6 +158,8 @@ def test_plenoxels_kernel_e2e_training_improves():
     t.fit(b, verbose=False)
     p1, _ = t.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=576)
     assert p1 > p0 + 2.0, (p0, p1)
+    # golden pin (seeded): the fused-kernel train path reaches ~17 dB here
+    assert p1 > 16.3, (p0, p1)
 
 
 def test_kernel_multichip_matches_single_device():

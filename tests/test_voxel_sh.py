@@ -190,6 +190,9 @@ def test_plenoxels_e2e_training_improves():
     t.fit(b, verbose=False)
     p1, s1 = t.eval_images(poses[tr][:2], images[tr][:2], H, W, K, chunk=1024)
     assert p1 > p0 + 2.0, (p0, p1)
+    # golden pin (seeded): reaches 17.05 dB here; a convergence regression
+    # in the XLA train path fails this before it fails the delta check
+    assert p1 > 16.3, (p0, p1)
     assert p1 > 15.0
     # the quadtree subdivided on the way
     assert b.forest.n_leaves > 6 * 4
