@@ -18,11 +18,15 @@ Metrics and baselines (see BASELINE.md):
      rays/step, occupancy marching, bf16, steady-state partial grid
      refreshes).  Baseline: torch-ngp -O lego 97 it/s x 4096 rays ≈ 397k
      rays/s on a V100 (ngp-ours/readme.md:211).
-  4. ngp_hash19_fwd_bwd_16kpts_ms — the sorted-block gather engine at
+  4. nerfpp_truck_train_rays_per_sec_per_chip — NeRF++ cascade (fg +
+     inverted-sphere bg) optimizer steps at the truck batch size.
+     Baseline: the reference's own cost note (45 s per 100 iters at batch
+     2880 on 3 GPUs, ddp_train_nerf.py:202) ≈ 2133 rays/s per GPU.
+  5. ngp_hash19_fwd_bwd_16kpts_ms — the sorted-block gather engine at
      torch-ngp's 2^19 capacity (gridencoder grid.py:91), fwd+bwd at 16k
      points.  Baseline: the full-matmul path's cost extrapolated to 2^19
      (linear in table rows; measured 11.1 ms at 2^15).
-  5. plenoxels_synth_time_to_psnr20_s — wall-clock until train PSNR 20 on
+  6. plenoxels_synth_time_to_psnr20_s — wall-clock until train PSNR 20 on
      the synthetic multi-view scene via the public trainer API (the
      paper's wall-clock-to-quality metric, first-class per SURVEY §5.1).
      Baseline: the same run costed at the XLA path's measured per-ray
@@ -183,6 +187,50 @@ def bench_ngp():
          rps / 397312.0)
 
 
+def bench_nerfpp():
+    """NeRF++ cascade (fg + inverted-sphere bg, 64+64 samples, D8 W256 x2
+    levels) full optimizer steps at the reference truck batch size.
+    Baseline: the reference's own training-cost note — batch 2880 across
+    3 GPUs at 45 s per 100 iters (nerf++-ours/ddp_train_nerf.py:202)
+    = 2880 * 100 / 45 / 3 ~ 2133 rays/s per GPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.models.nerfpp import NerfPPConfig
+    from flnerf_tpu.rays.quadtree import RayEpoch
+    from flnerf_tpu.train.nerfpp_trainer import (
+        NerfPPTrainConfig, NerfPPTrainer,
+    )
+
+    mcfg = NerfPPConfig()
+    tcfg = NerfPPTrainConfig(batch_size=2880, steps_per_chunk=8,
+                             prob_sampling=False)
+    trainer = NerfPPTrainer(mcfg, tcfg)
+
+    n_rays = tcfg.batch_size * tcfg.steps_per_chunk
+    rng = np.random.default_rng(0)
+    # camera outside the unit sphere looking in (fg+bg both exercised)
+    o = np.tile(np.array([[0.0, 0.5, 3.0]], np.float32), (n_rays, 1))
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.15
+    d[:, 2] -= 1.0
+    epoch = RayEpoch(
+        origins=o, dirs=d / np.linalg.norm(d, axis=-1, keepdims=True),
+        rgb=rng.random((n_rays, 3)).astype(np.float32),
+        leaf_id=rng.integers(0, 128, n_rays).astype(np.int32),
+        n_leaves=128,
+    )
+    trainer.run_epoch_rays(epoch, jax.random.PRNGKey(0))  # compile
+    n_timed = 3
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        trainer.run_epoch_rays(epoch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(trainer.state.params[0])
+    dt = time.perf_counter() - t0
+    rps = n_timed * n_rays / dt / max(len(jax.devices()), 1)
+    emit("nerfpp_truck_train_rays_per_sec_per_chip", rps, "rays/s/chip",
+         rps / 2133.0)
+
+
 def bench_hash_capacity():
     """Sorted-block gather engine at torch-ngp's 2^19 capacity vs the
     full-matmul path at the same capacity (both fwd+bwd at 16k points,
@@ -309,7 +357,7 @@ def bench_time_to_psnr():
 
 def main():
     for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,
-               bench_hash_capacity, bench_time_to_psnr):
+               bench_nerfpp, bench_hash_capacity, bench_time_to_psnr):
         try:
             fn()
         except Exception as e:  # one failing backend must not hide the rest

@@ -154,6 +154,9 @@ def main(argv=None):
               f"({args.iters * args.num_rays / dt:.0f} rays/s)")
         with open(os.path.join(args.workspace, "time_mins.txt"), "w") as f:
             f.write(f"{dt/60:.3f}\n")
+        # final checkpoint (utils.py:908-911 saves at epoch end; orbit
+        # rendering and --test resume load from here)
+        trainer.save_checkpoint(args.workspace)
 
     psnr, ssim = trainer.eval_images(
         poses[i_test], images[i_test], H, W, K, chunk=args.max_ray_batch

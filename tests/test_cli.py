@@ -119,3 +119,19 @@ def test_main_ccnerf_train_and_compose(tmp_path):
     ])
     assert r2["n_objects"] == 2 and np.isfinite(r2["psnr"])
     assert os.path.exists(str(tmp_path / "c" / f"compose_{0:03d}.png")) or True
+
+
+def test_main_nerf_smoke_split_hash(tmp_path):
+    """main_nerf end-to-end on the synthetic scene through the CLI,
+    including the 2^16+ split hash engine selection (--log2_hashmap_size)."""
+    from flnerf_tpu.cli.main_nerf import main as ngp_main
+
+    ngp_main([
+        "synthetic", "--workspace", str(tmp_path), "--synth_h", "24",
+        "--iters", "8", "--steps_per_chunk", "4", "--num_rays", "128",
+        "--n_candidates", "16", "--n_keep", "8", "--grid_size", "16",
+        "--log2_hashmap_size", "16", "--bound", "1.5",
+    ])
+    import glob
+    assert glob.glob(str(tmp_path) + "/checkpoints/*.pkl")
+    assert glob.glob(str(tmp_path) + "/results.txt")
