@@ -164,11 +164,11 @@ def main(argv=None):
         done = 0
         li = cfg.K - 1
         while done < args.iters:
-            # swap the supervised level's field fns in-place
+            # swap the supervised level's field fns in-place; cfg.max_steps
+            # stays the TOTAL so the lr decay spans the whole run
             trainer.density_fn, trainer.rgb_fn = fields[li][1], fields[li][2]
             trainer._chunk_fn = trainer._make_chunk_fn()
-            trainer.cfg = tcfg._replace(max_steps=steps_per_level)
-            trainer.fit(sampler, verbose=False)
+            trainer.fit(sampler, verbose=False, n_steps=steps_per_level)
             done += steps_per_level
             li = (li - 1) % cfg.K
         with open(os.path.join(args.workspace, "time_mins.txt"), "w") as f:

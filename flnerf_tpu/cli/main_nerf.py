@@ -136,6 +136,9 @@ def main(argv=None):
         n_candidates=args.n_candidates, n_keep=args.n_keep,
         grid_size=args.grid_size, bound=args.bound, min_near=args.min_near,
         density_thresh=0.01, bg_color=1.0,
+        # adaptive stepping only helps large-bound scenes (torch-ngp uses
+        # dt_gamma=0 on blender); honor the flag when bound > 1
+        dt_gamma=args.dt_gamma if args.bound > 1.0 else 0.0,
     )
     tcfg = NGPTrainConfig(
         max_steps=args.iters, batch_rays=args.num_rays, lr=args.lr,

@@ -28,9 +28,20 @@ _SPHERES = np.array(
 )
 
 
-def render_gt(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+def _checker(p: np.ndarray, freq: float) -> np.ndarray:
+    """View-consistent high-frequency 3-D texture in [0.25, 1]: product-of-
+    sines checker at `freq` cycles per unit — the capacity probe (a field
+    must spend fine-level table entries to represent it)."""
+    s = np.sin(freq * p[:, 0]) * np.sin(freq * p[:, 1] + 1.3) * np.sin(
+        freq * p[:, 2] + 2.1)
+    return (0.625 + 0.375 * np.sign(s)).astype(np.float32)
+
+
+def render_gt(rays_o: np.ndarray, rays_d: np.ndarray,
+              texture_freq: float = 0.0) -> np.ndarray:
     """Exact render: nearest sphere hit colors the pixel (lambert-ish shade),
-    else white background. rays_*: [..., 3]."""
+    else white background. rays_*: [..., 3].  texture_freq > 0 modulates
+    the albedo with a high-frequency 3-D checker (capacity studies)."""
     sh = rays_o.shape[:-1]
     o = rays_o.reshape(-1, 3)
     d = rays_d.reshape(-1, 3)
@@ -50,13 +61,16 @@ def render_gt(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
             p = o[valid] + t[valid, None] * d[valid]
             n = (p - c) / r
             shade = 0.55 + 0.45 * np.clip(-n @ np.array([0.3, -0.5, 0.8], np.float32), 0, 1)
+            if texture_freq > 0:
+                shade = shade * _checker(p, texture_freq)
             color[valid] = np.array([cr, cg, cb], np.float32) * shade[:, None]
             best_t[valid] = t[valid]
     return color.reshape(*sh, 3)
 
 
 def load_synthetic_data(
-    n_train: int = 8, n_test: int = 2, H: int = 64, W: int = 64
+    n_train: int = 8, n_test: int = 2, H: int = 64, W: int = 64,
+    texture_freq: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, list, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Blender-loader-shaped output: (images, poses, render_poses, hwf, i_split)."""
     focal = 0.9 * W
@@ -68,7 +82,7 @@ def load_synthetic_data(
     images = []
     for i in range(n):
         ro, rd = get_rays_np(H, W, K, poses[i][:3, :4])
-        images.append(render_gt(ro, rd))
+        images.append(render_gt(ro, rd, texture_freq))
     images = np.stack(images, 0)
 
     render_poses = np.stack([pose_spherical(t, -25.0, 3.5) for t in np.linspace(-180, 180, 12, endpoint=False)], 0)

@@ -115,27 +115,23 @@ def _mlp_uniform_init(key, dims):
 
 
 def _run_mlp(h, net, compute_dtype):
-    for l, w in enumerate(net):
-        h = jax.lax.dot_general(
-            h.astype(compute_dtype), w.astype(compute_dtype),
-            dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if l != len(net) - 1:
-            h = jax.nn.relu(h)
-    return h
+    """Alias of the shared bias-free bf16 MLP chain (one implementation:
+    any future numeric change applies everywhere)."""
+    from flnerf_tpu.models.hash_ngp import _mlp
+
+    return _mlp(h, net, compute_dtype)
 
 
 def init_dnerf_basis(key, cfg: DNeRFConfig) -> Params:
     from flnerf_tpu.models.hash_ngp import (
-        _linear_init_nobias, init_packed_table,
+        _linear_init_nobias, init_ngp_table,
     )
     from flnerf_tpu.ops.sh_encoding import sh_encode  # noqa: F401
 
     ncfg = cfg.ngp
     spec = make_ngp_spec(ncfg)
     keys = jax.random.split(key, 8)
-    params: Params = {"table": init_packed_table(keys[0], spec)}
+    params: Params = {"table": init_ngp_table(keys[0], spec)}
     sb, cb = cfg.sigma_basis_dim, cfg.color_basis_dim
 
     t_in = embedder_out_dim(cfg.time_multires, 1)
@@ -159,9 +155,8 @@ def init_dnerf_basis(key, cfg: DNeRFConfig) -> Params:
 
 
 def make_dnerf_basis_field(cfg: DNeRFConfig, compute_dtype=jnp.bfloat16):
-    from flnerf_tpu.models.hash_ngp import _use_pallas
+    from flnerf_tpu.models.hash_ngp import encode_with_spec
     from flnerf_tpu.ops.activations import trunc_exp
-    from flnerf_tpu.ops.hash_pallas import hash_encode_pallas, hash_encode_xla
     from flnerf_tpu.ops.sh_encoding import sh_encode
 
     ncfg = cfg.ngp
@@ -179,10 +174,7 @@ def make_dnerf_basis_field(cfg: DNeRFConfig, compute_dtype=jnp.bfloat16):
     def density_fn(params, x, t):
         sh = x.shape[:-1]
         x01 = jnp.clip((x.reshape(-1, 3) / ncfg.bound + 1) * 0.5, 0.0, 1.0)
-        if _use_pallas(ncfg):
-            enc = hash_encode_pallas(x01, params["table"], spec, ncfg.hash_chunk)
-        else:
-            enc = hash_encode_xla(x01, params["table"], spec)
+        enc = encode_with_spec(x01, params["table"], spec, ncfg)
         h = _run_mlp(enc, params["sigma_net"], compute_dtype)
         sig_b, col_b = bases(params, t)
         sigma = trunc_exp(jnp.sum(h[:, :sb] * sig_b, -1))

@@ -154,14 +154,30 @@ def _use_pallas(cfg: NGPConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def init_ngp_table(key, spec):
+    """Table params for either spec kind (split tuple / packed array)."""
+    if isinstance(spec, SplitHashSpec):
+        return init_split_table(key, spec)
+    return init_packed_table(key, spec)
+
+
+def encode_with_spec(x01, table, spec, cfg: NGPConfig):
+    """Dispatch x01 -> [N, L*C] features over the spec kind + backend —
+    the one place every NGP-spec consumer (ngp, dnerf variants) routes
+    through so new engines stay wired everywhere."""
+    if isinstance(spec, SplitHashSpec):
+        return hash_encode_split(x01, table, spec, cfg.hash_chunk,
+                                 use_kernels=_use_pallas(cfg))
+    if _use_pallas(cfg):
+        return hash_encode_pallas(x01, table, spec, cfg.hash_chunk)
+    return hash_encode_xla(x01, table, spec)
+
+
 def init_ngp(key, cfg: NGPConfig) -> Params:
     spec = make_ngp_spec(cfg)
-    keys = jax.random.split(key, 1 + cfg.num_layers + cfg.num_layers_color)
-    params: Params = {
-        "table": init_split_table(keys[0], spec)
-        if isinstance(spec, SplitHashSpec)
-        else init_packed_table(keys[0], spec)
-    }
+    # one extra key reserved for the bg nets (never reuse a consumed key)
+    keys = jax.random.split(key, 2 + cfg.num_layers + cfg.num_layers_color)
+    params: Params = {"table": init_ngp_table(keys[0], spec)}
 
     in_dim = spec.output_dim
     sigma_net = []
@@ -216,13 +232,7 @@ def ngp_density(
     sh = x.shape[:-1]
     x01 = (x.reshape(-1, 3) / cfg.bound + 1.0) * 0.5
     x01 = jnp.clip(x01, 0.0, 1.0)
-    if isinstance(spec, SplitHashSpec):
-        enc = hash_encode_split(x01, params["table"], spec, cfg.hash_chunk,
-                                use_kernels=_use_pallas(cfg))
-    elif _use_pallas(cfg):
-        enc = hash_encode_pallas(x01, params["table"], spec, cfg.hash_chunk)
-    else:
-        enc = hash_encode_xla(x01, params["table"], spec)
+    enc = encode_with_spec(x01, params["table"], spec, cfg)
     h = _mlp(enc, params["sigma_net"], compute_dtype)
     sigma = trunc_exp(h[..., 0])
     geo = h[..., 1:]

@@ -216,9 +216,15 @@ def build_blocks(rays_o, rays_d, cfg: VoxelGridConfig,
     lo_i = lo.astype(jnp.int32)
     hi_i = hi.astype(jnp.int32)
     reso_i = np.asarray(cfg.reso, np.int32)
+    # the box must fit the grid, and the y clamp below must stay 8-aligned
+    # (the kernels promise pl.multiple_of(cy, 8) on the tiled memref dim)
+    assert int(reso_i[0]) >= BX and int(reso_i[1]) >= BY and (
+        n_zgroups(int(reso_i[2])) >= GB), (
+        f"voxel kernel needs reso >= ({BX}, {BY}, {ZSTRIDE * (GB - 1) + 2}); "
+        f"got {tuple(cfg.reso)} — use the XLA path (use_kernel=False)")
     cx = jnp.clip(lo_i[..., 0], 0, int(reso_i[0]) - BX)
     # y corner must be 8-aligned (tiled memref dim); BY absorbs the waste
-    cy = jnp.clip((lo_i[..., 1] // 8) * 8, 0, int(reso_i[1]) - BY)
+    cy = jnp.clip((lo_i[..., 1] // 8) * 8, 0, (int(reso_i[1]) - BY) & ~7)
     zg_lo = lo_i[..., 2] // ZSTRIDE
     zg_hi = hi_i[..., 2] // ZSTRIDE
     zg_tot = n_zgroups(cfg.reso[2])

@@ -44,6 +44,11 @@ class NGPRenderConfig(NamedTuple):
     density_scale: float = 1.0
     decay: float = 0.95         # EMA max decay (renderer.py:521-526)
     bg_color: float = 1.0       # scalar background (white default)
+    # > 0: step size grows with depth (raymarching.cu's dt = t * dt_gamma
+    # rule for large-bound scenes) — candidates become log-spaced in
+    # [near, far], which realizes dt proportional to t at the effective
+    # gamma log(far/near)/S the static candidate budget affords.
+    dt_gamma: float = 0.0
 
 
 class OccupancyState(NamedTuple):
@@ -142,14 +147,18 @@ def _density_sweep(params, density_fn, cells, key, g: int,
     xyz = ((cells + jitter) / g * 2.0 - 1.0) * cfg.bound
     n = xyz.shape[0]
     chunk = min(chunk, n)
-    xyz_c = jax.lax.stop_gradient(xyz).reshape(n // chunk, chunk, 3)
+    n_pad = -(-n // chunk) * chunk          # any grid size, e.g. 96^3
+    if n_pad != n:
+        xyz = jnp.concatenate(
+            [xyz, jnp.zeros((n_pad - n, 3), xyz.dtype)], 0)
+    xyz_c = jax.lax.stop_gradient(xyz).reshape(n_pad // chunk, chunk, 3)
 
     def body(carry, xc):
         s, _ = density_fn(params, xc)
         return carry, s
 
     _, sigma = jax.lax.scan(body, 0, xyz_c)
-    return sigma.reshape(-1) * cfg.density_scale
+    return sigma.reshape(-1)[:n] * cfg.density_scale
 
 
 def update_occupancy(
@@ -188,6 +197,11 @@ def update_occupancy(
             occ.density < 0, occ.density, jnp.maximum(decayed, sigma))
         return OccupancyState(
             new_density, jnp.mean(jnp.clip(new_density, 0.0, None)))
+
+    if g % 2:
+        # parity classes need an even grid; odd sizes just do full sweeps
+        return update_occupancy(occ, params, density_fn, key, cfg, chunk,
+                                partial=False)
 
     gh = g // 2
     kp, kj = jax.random.split(key)
@@ -249,10 +263,20 @@ def ngp_render_rays(
     near, far, hit = near_far_from_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
 
     t = jnp.linspace(0.0, 1.0, S)
-    z = near[:, None] + (far - near)[:, None] * t[None, :]
-    sample_dist = (far - near) / S
+    if cfg.dt_gamma > 0:
+        # dt proportional to t: log-uniform depths; local spacing ~ z * g
+        ln_n, ln_f = jnp.log(near), jnp.log(far)
+        z = jnp.exp(ln_n[:, None] * (1.0 - t)[None, :]
+                    + ln_f[:, None] * t[None, :])
+        g = (ln_f - ln_n) / S
+        spacing = z * g[:, None]                        # [N, S]
+        sample_dist = far * g                           # tail delta
+    else:
+        z = near[:, None] + (far - near)[:, None] * t[None, :]
+        sample_dist = (far - near) / S
+        spacing = jnp.broadcast_to(sample_dist[:, None], z.shape)
     if perturb:
-        z = z + (jax.random.uniform(key, z.shape) - 0.5) * sample_dist[:, None]
+        z = z + (jax.random.uniform(key, z.shape) - 0.5) * spacing
 
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     xyz = jnp.clip(xyz, -cfg.bound, cfg.bound)

@@ -388,10 +388,15 @@ class NGPTrainer:
         )
 
     # ------------------------------------------------------------------
-    def fit(self, sampler: NGPSampler, verbose: bool = True, eval_every: int = 0):
+    def fit(self, sampler: NGPSampler, verbose: bool = True,
+            eval_every: int = 0, n_steps: int = None):
+        """Train cfg.max_steps steps (or n_steps, for callers that
+        interleave fits — e.g. CCNeRF's level cycling — while keeping
+        cfg.max_steps as the TOTAL so the compiled lr decay spans the
+        whole run)."""
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + 1)
-        n_chunks = cfg.max_steps // cfg.steps_per_chunk
+        n_chunks = (n_steps or cfg.max_steps) // cfg.steps_per_chunk
         allpixel_chunk = int(n_chunks * cfg.all_pixel_at)
         data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         t0 = time.time()
@@ -516,7 +521,13 @@ class NGPTrainer:
                 time=(float(times[i]) if times is not None else None),
                 bg_fn=self.bg_fn,
             )
-            mse = float(np.mean((rgb - images[i]) ** 2))
+            gt = np.asarray(images[i])
+            if gt.shape[-1] == 4:
+                # RGBA gt: composite on the eval bg color (utils.py:471:
+                # eval always uses white/bg_color, never the random bg)
+                gt = gt[..., :3] * gt[..., 3:] + (
+                    self.rcfg.bg_color * (1.0 - gt[..., 3:]))
+            mse = float(np.mean((rgb - gt) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
-            ssims.append(float(compute_ssim(jnp.asarray(images[i]), jnp.asarray(rgb))))
+            ssims.append(float(compute_ssim(jnp.asarray(gt), jnp.asarray(rgb))))
         return float(np.mean(psnrs)), float(np.mean(ssims))

@@ -324,9 +324,12 @@ class PlenoxelsTrainer:
             exp_mask.reshape(-1),
             np.ones(tail.shape[0], np.float32),
         ])
-        # shuffle block order for SGD diversity (tail stays last, it pads)
+        # shuffle block order for SGD diversity (tail stays last, it pads);
+        # the rng persists so the permutation differs across epochs
+        if not hasattr(self, "_order_rng"):
+            self._order_rng = np.random.default_rng(self.cfg.seed)
         nbl = good.shape[0] // vp.RB + exp.shape[0] // vp.RB
-        perm = np.random.default_rng(self.cfg.seed).permutation(nbl)
+        perm = self._order_rng.permutation(nbl)
         body = idx[: nbl * vp.RB].reshape(nbl, vp.RB)[perm].reshape(-1)
         mbody = mask[: nbl * vp.RB].reshape(nbl, vp.RB)[perm].reshape(-1)
         return (

