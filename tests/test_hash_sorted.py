@@ -132,3 +132,20 @@ def test_ngp_field_split_table_grads():
     gs, gb = g["table"]
     assert float(jnp.sum(jnp.abs(gs))) > 0.0
     assert float(jnp.sum(jnp.abs(gb))) > 0.0
+
+
+def test_split_encode_chunks_large_point_sets(monkeypatch):
+    """N beyond the engine's per-call pid budget is chunked and concatenated
+    (the trainer feeds ~131k points per step)."""
+    import flnerf_tpu.ops.hash_sorted as hs
+
+    spec = _spec(split_min=1)
+    rng = np.random.default_rng(5)
+    flat = _flat_table(spec, rng)
+    _, tb = split_from_flat(jnp.asarray(flat), spec)
+    x = rng.random((700, 3)).astype(np.float32)
+    want = np.asarray(hash_encode(jnp.asarray(x), jnp.asarray(flat),
+                                  spec.base))
+    monkeypatch.setattr(hs, "POINT_CAP", 256)
+    got = np.asarray(hs.hash_encode_split(jnp.asarray(x), (None, tb), spec))
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)
