@@ -1,7 +1,10 @@
-"""Dataset conversion tools: tanks2nerf, hyper2nerf, colmap2nsvf.
+"""Dataset conversion tools: tanks2nerf, hyper2nerf, colmap2nsvf,
+create_split/unsplit (NSVF train/test prefixing), record3d (Record3D
+capture -> NSVF layout).
 
 Parity targets: ngp-ours/scripts/tanks2nerf.py (156 LoC),
-scripts/hyper2nerf.py (223 LoC), plenoxels-ours/opt/scripts/colmap2nsvf.py.
+scripts/hyper2nerf.py (223 LoC), plenoxels-ours/opt/scripts/
+{colmap2nsvf,create_split,unsplit,proc_record3d}.py.
 All three share the torch-ngp pose-alignment recipe: flip to the NGP
 convention, rotate the mean camera-up to +z, recenter on the weighted
 closest-point of all camera axes, rescale — reimplemented here with
@@ -220,6 +223,157 @@ def colmap2nsvf(sparse_dir: str, out_dir: str) -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# NSVF split management (plenoxels-ours/opt/scripts/create_split.py /
+# unsplit.py): the loaders treat a '0_' name prefix as train and '1_' as
+# test; these rename files in-place across the parallel data dirs.
+# ---------------------------------------------------------------------------
+
+_SPLIT_DIRS = (
+    ("pose", (".txt",)), ("poses", (".txt",)), ("feature", (".npz",)),
+    ("rgb", (".png", ".jpg", ".jpeg", ".gif", ".tif", ".tiff", ".bmp")),
+    ("images", (".png", ".jpg", ".jpeg", ".gif", ".tif", ".tiff", ".bmp")),
+    ("image", (".png", ".jpg", ".jpeg", ".gif", ".tif", ".tiff", ".bmp")),
+    ("depths", (".exr", ".pfm", ".png", ".npy")),
+)
+
+
+def _split_dirs(root: str):
+    out = []
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if not os.path.isdir(full):
+            continue
+        for prefix, exts in _SPLIT_DIRS:
+            if d.startswith(prefix):
+                out.append((full, exts, prefix == "pose" and d == "pose"))
+                break
+    return out
+
+
+def create_split(root: str, every: int = 16, randomize: bool = False,
+                 seed: int = 0, dry_run: bool = False) -> list:
+    """Prefix every `every`-th stem with '1_' (test), the rest with '0_'
+    (train), consistently across all parallel data dirs.  Returns the
+    (old, new) rename list; dry_run only reports."""
+    dirs = _split_dirs(root)
+    assert dirs, f"no data dirs under {root}"
+    ref = next((d for d in dirs if d[2]), dirs[0])
+    stems = [os.path.splitext(f)[0] for f in sorted(os.listdir(ref[0]))
+             if os.path.splitext(f)[1].lower() in ref[1]
+             and not f.startswith(("0_", "1_"))]
+    if randomize:
+        np.random.default_rng(seed).shuffle(stems)
+    prefix = {s: f"{int(i % every == 0)}_" for i, s in enumerate(stems)}
+
+    renames = []
+    for dirname, exts, _ in dirs:
+        for f in sorted(os.listdir(dirname)):
+            stem, ext = os.path.splitext(f)
+            if (f.startswith(("0_", "1_")) or ext.lower() not in exts
+                    or stem not in prefix):
+                continue
+            src = os.path.join(dirname, f)
+            dst = os.path.join(dirname, prefix[stem] + f)
+            renames.append((src, dst))
+            if not dry_run:
+                os.rename(src, dst)
+    return renames
+
+
+def unsplit(root: str) -> int:
+    """Strip the 0_/1_ split prefixes again (scripts/unsplit.py)."""
+    n = 0
+    for dirname, exts, _ in _split_dirs(root):
+        for f in sorted(os.listdir(dirname)):
+            if f.startswith(("0_", "1_")):
+                os.rename(os.path.join(dirname, f),
+                          os.path.join(dirname, f[2:]))
+                n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Record3D capture -> NSVF layout (scripts/proc_record3d.py): metadata.json
+# carries K and per-frame (quat xyzw, t) poses; the mp4 frames are
+# side-by-side depth|rgb and the RIGHT half is the image.
+# ---------------------------------------------------------------------------
+
+def _quat_xyzw_to_rot(q: np.ndarray) -> np.ndarray:
+    """[N, 4] xyzw quaternions -> [N, 3, 3] (scipy's from_quat order)."""
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    n = x * x + y * y + z * z + w * w
+    s = np.where(n > 0, 2.0 / np.maximum(n, 1e-12), 0.0)
+    R = np.empty((q.shape[0], 3, 3))
+    R[:, 0, 0] = 1 - s * (y * y + z * z)
+    R[:, 0, 1] = s * (x * y - z * w)
+    R[:, 0, 2] = s * (x * z + y * w)
+    R[:, 1, 0] = s * (x * y + z * w)
+    R[:, 1, 1] = 1 - s * (x * x + z * z)
+    R[:, 1, 2] = s * (y * z - x * w)
+    R[:, 2, 0] = s * (x * z - y * w)
+    R[:, 2, 1] = s * (y * z + x * w)
+    R[:, 2, 2] = 1 - s * (x * x + y * y)
+    return R
+
+
+def record3d_to_nsvf(data_dir: str, every: int = 15, factor: int = 2) -> int:
+    """metadata.json + capture video -> intrinsics.txt + pose/*.txt +
+    rgb/*.png in the NSVF layout.  Returns the number of frames written."""
+    import imageio.v2 as imageio
+
+    meta = json.load(open(os.path.join(data_dir, "metadata.json")))
+    K = np.eye(4)
+    K[:3, :3] = np.asarray(meta["K"], np.float64).reshape(3, 3).T / factor
+    np.savetxt(os.path.join(data_dir, "intrinsics.txt"), K)
+
+    poses7 = np.asarray(meta["poses"], np.float64)       # [N, 7] quat|t
+    t = poses7[:, 4:] - poses7[:, 4:].mean(0)            # recenter
+    c2w = np.tile(np.eye(4), (poses7.shape[0], 1, 1))
+    c2w[:, :3, :3] = _quat_xyzw_to_rot(poses7[:, :4])
+    c2w[:, :3, 3] = t
+    c2w = c2w @ np.diag([1.0, -1.0, -1.0, 1.0])          # to the nerf axes
+
+    pose_dir = os.path.join(data_dir, "pose")
+    rgb_dir = os.path.join(data_dir, "rgb")
+    os.makedirs(pose_dir, exist_ok=True)
+    os.makedirs(rgb_dir, exist_ok=True)
+
+    import glob as _glob
+    vids = _glob.glob(os.path.join(data_dir, "*.mp4"))
+    idx = 0
+    if vids:
+        import cv2
+
+        video = cv2.VideoCapture(vids[0])
+        n_frames = int(video.get(cv2.CAP_PROP_FRAME_COUNT))
+        for i in range(0, n_frames, every):
+            video.set(cv2.CAP_PROP_POS_FRAMES, i)
+            ok, frame = video.read()
+            if not ok or frame is None or i >= c2w.shape[0]:
+                continue
+            half = frame.shape[1] // 2
+            rgb = frame[:, half:, ::-1]                  # right half, BGR->RGB
+            if factor != 1:
+                rgb = cv2.resize(rgb, (half // factor,
+                                       frame.shape[0] // factor),
+                                 interpolation=cv2.INTER_AREA)
+            imageio.imwrite(os.path.join(rgb_dir, f"{idx:05d}.png"), rgb)
+            np.savetxt(os.path.join(pose_dir, f"{idx:05d}.txt"), c2w[i])
+            idx += 1
+    else:
+        # frames already extracted (frames/*.png): pose-only processing
+        frames = sorted(_glob.glob(os.path.join(data_dir, "frames", "*.png")))
+        for i in range(0, len(frames), every):
+            if i >= c2w.shape[0]:
+                break
+            rgb = imageio.imread(frames[i])
+            imageio.imwrite(os.path.join(rgb_dir, f"{idx:05d}.png"), rgb)
+            np.savetxt(os.path.join(pose_dir, f"{idx:05d}.txt"), c2w[i])
+            idx += 1
+    return idx
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -232,13 +386,31 @@ def main(argv=None):
     p3 = sub.add_parser("colmap2nsvf")
     p3.add_argument("sparse_dir")
     p3.add_argument("out_dir")
+    p4 = sub.add_parser("create_split")
+    p4.add_argument("root")
+    p4.add_argument("--every", type=int, default=16)
+    p4.add_argument("--random", action="store_true")
+    p4.add_argument("--dry_run", action="store_true")
+    p5 = sub.add_parser("unsplit")
+    p5.add_argument("root")
+    p6 = sub.add_parser("record3d")
+    p6.add_argument("data_dir")
+    p6.add_argument("--every", type=int, default=15)
+    p6.add_argument("--factor", type=int, default=2)
     args = parser.parse_args(argv)
     if args.cmd == "tanks2nerf":
         print(tanks2nerf(args.root))
     elif args.cmd == "hyper2nerf":
         print(hyper2nerf(args.root, args.downscale, args.interval))
-    else:
+    elif args.cmd == "colmap2nsvf":
         print(colmap2nsvf(args.sparse_dir, args.out_dir))
+    elif args.cmd == "create_split":
+        print(create_split(args.root, args.every, args.random,
+                           dry_run=args.dry_run))
+    elif args.cmd == "unsplit":
+        print(unsplit(args.root))
+    else:
+        print(record3d_to_nsvf(args.data_dir, args.every, args.factor))
 
 
 if __name__ == "__main__":

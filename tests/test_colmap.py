@@ -113,3 +113,58 @@ def test_colmap2nerf_cli(tmp_path):
     main(["--colmap_sparse", str(tmp_path), "--out", out])
     d = json.load(open(out))
     assert len(d["frames"]) == 4
+
+
+def test_create_split_and_unsplit(tmp_path):
+    """NSVF split prefixing across parallel dirs + the inverse
+    (create_split.py / unsplit.py analogs)."""
+    from flnerf_tpu.cli.converters import create_split, unsplit
+
+    for sub, ext in (("pose", ".txt"), ("rgb", ".png")):
+        os.makedirs(tmp_path / sub)
+        for i in range(8):
+            (tmp_path / sub / f"{i:03d}{ext}").write_bytes(b"x")
+    renames = create_split(str(tmp_path), every=4)
+    assert len(renames) == 16
+    pose_files = sorted(os.listdir(tmp_path / "pose"))
+    assert "1_000.txt" in pose_files and "1_004.txt" in pose_files
+    assert sum(f.startswith("1_") for f in pose_files) == 2
+    rgb_files = sorted(os.listdir(tmp_path / "rgb"))
+    # identical stems get identical prefixes across dirs
+    assert [f.split(".")[0] for f in rgb_files] == [
+        f.split(".")[0] for f in pose_files]
+    # idempotent: already-prefixed files are skipped
+    assert create_split(str(tmp_path), every=4) == []
+    assert unsplit(str(tmp_path)) == 16
+    assert sorted(os.listdir(tmp_path / "pose")) == [
+        f"{i:03d}.txt" for i in range(8)]
+
+
+def test_record3d_to_nsvf_frames_dir(tmp_path):
+    """Record3D metadata -> NSVF pose/rgb layout (frames-dir fallback);
+    orientation math pinned against an identity-quaternion pose."""
+    import imageio.v2 as imageio
+    import json as _json
+    from flnerf_tpu.cli.converters import record3d_to_nsvf
+
+    os.makedirs(tmp_path / "frames")
+    n = 6
+    poses = []
+    for i in range(n):
+        imageio.imwrite(str(tmp_path / "frames" / f"f{i:03d}.png"),
+                        np.full((8, 8, 3), i * 30, np.uint8))
+        poses.append([0.0, 0.0, 0.0, 1.0, float(i), 0.0, 0.0])
+    meta = {"K": np.diag([100.0, 100.0, 1.0]).reshape(-1).tolist(),
+            "poses": poses}
+    (tmp_path / "metadata.json").write_text(_json.dumps(meta))
+
+    wrote = record3d_to_nsvf(str(tmp_path), every=2, factor=2)
+    assert wrote == 3
+    K = np.loadtxt(tmp_path / "intrinsics.txt")
+    assert K.shape == (4, 4) and abs(K[0, 0] - 50.0) < 1e-9
+    p0 = np.loadtxt(tmp_path / "pose" / "00000.txt")
+    # identity quat -> R = diag(1,-1,-1) after the nerf-axes flip
+    np.testing.assert_allclose(p0[:3, :3], np.diag([1.0, -1.0, -1.0]),
+                               atol=1e-12)
+    # recentered translation: frame 0 at x = 0 - mean = -2.5
+    np.testing.assert_allclose(p0[:3, 3], [-2.5, 0, 0], atol=1e-12)
