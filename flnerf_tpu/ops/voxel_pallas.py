@@ -431,9 +431,22 @@ def _transmittance(m, rays, carry_logT, cfg):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _box_copy(table_hbm, cg_ref, cx_ref, cy_ref, idx, buf, sem):
+    """Async-copy descriptor for window idx's grid box into buf."""
+    cg = cg_ref[idx]
+    cx = cx_ref[idx]
+    cy = pl.multiple_of(cy_ref[idx], 8)
+    return pltpu.make_async_copy(
+        table_hbm.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :],
+        buf, sem,
+    )
+
+
 def _fwd_kernel(cg_ref, cx_ref, cy_ref, valid_ref, rays_ref, table_hbm,
-                out_ref, tbox, sem, *, cfg: VoxelGridConfig, nw: int):
+                out_ref, tbox0, tbox1, sem0, sem1,
+                *, cfg: VoxelGridConfig, nw: int):
     g = pl.program_id(0)
+    n_g = pl.num_programs(0)
     win = g % nw
     cg = cg_ref[g]
     cx = cx_ref[g]
@@ -444,20 +457,50 @@ def _fwd_kernel(cg_ref, cx_ref, cy_ref, valid_ref, rays_ref, table_hbm,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # double-buffered box DMA: window g's copy was started at step g-1
+    # (or here for g == 0) into the parity buffer; start g+1's copy into
+    # the OTHER buffer before computing, so the fetch rides under the
+    # matmuls.  Buffers strictly alternate by window parity — a skipped
+    # (invalid) window just leaves its parity buffer untouched.
+    @pl.when((g == 0) & (valid_w > 0))
+    def _():
+        _box_copy(table_hbm, cg_ref, cx_ref, cy_ref, 0, tbox0, sem0).start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        @pl.when(valid_ref[g + 1] > 0)
+        def _():
+            @pl.when((g + 1) % 2 == 0)
+            def _():
+                _box_copy(table_hbm, cg_ref, cx_ref, cy_ref, g + 1,
+                          tbox0, sem0).start()
+
+            @pl.when((g + 1) % 2 == 1)
+            def _():
+                _box_copy(table_hbm, cg_ref, cx_ref, cy_ref, g + 1,
+                          tbox1, sem1).start()
+
     # empty-space skipping: invalid windows (out of range / unoccupied box)
     # contribute exactly nothing — skip their DMA and compute entirely
     @pl.when(valid_w > 0)
     def _():
-        cp = pltpu.make_async_copy(
-            table_hbm.at[pl.ds(cg, GB), pl.ds(cx, BX), pl.ds(cy, BY), :],
-            tbox, sem,
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(g % 2 == 0)
+        def _():
+            _box_copy(table_hbm, cg_ref, cx_ref, cy_ref, g,
+                      tbox0, sem0).wait()
+
+        @pl.when(g % 2 == 1)
+        def _():
+            _box_copy(table_hbm, cg_ref, cx_ref, cy_ref, g,
+                      tbox1, sem1).wait()
+
+        # value-select the parity buffer (refs can't be selected; the
+        # [NROWS, 128] bf16 select is ~0.2us, the DMA it hides ~3-5us)
+        tb = jnp.where(g % 2 == 0, tbox0[...], tbox1[...])
 
         rays = rays_ref[0]
         m = _march_window(rays, cg, cx, cy, win, valid_w, cfg,
-                          tbox[...].reshape(NROWS, LANES))
+                          tb.reshape(NROWS, LANES))
 
         carry = out_ref[0, :, 4:5]
         log_att, _, wgt, la_total = _transmittance(m, rays, carry, cfg)
@@ -608,6 +651,8 @@ def _fwd_call(key, nb, interpret):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((GB, BX, BY, LANES), jnp.bfloat16),
+            pltpu.VMEM((GB, BX, BY, LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
