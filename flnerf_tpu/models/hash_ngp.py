@@ -57,7 +57,10 @@ class NGPConfig(NamedTuple):
     # engine (ops/hash_sorted.py) whose cost is capacity-independent, so
     # torch-ngp's 2^19 (gridencoder grid.py:91) is affordable on TPU.
     log2_hashmap_size: int = 15
-    split_min_size: int = 1 << 14   # sorted engine: matmul-path level cutoff
+    # sorted engine: levels with tables below this stay on the matmul path.
+    # Matches make_split_spec's default (ADVICE r2): the sorted path's flat
+    # per-level cost only wins above ~2^15 (measured, DESIGN.md §3).
+    split_min_size: int = 1 << 15
     desired_resolution: int = 2048  # x bound
     num_layers: int = 2
     hidden_dim: int = 64

@@ -41,6 +41,7 @@ class VoxelGridConfig(NamedTuple):
     radius: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     init_sigma: float = 0.1         # opt.py init_sigma
+    init_sigma_bg: float = 0.1      # argument_parser.py --init_sigma_bg
     step_size: float = 0.5          # RenderOptions.step_size (voxel units)
     sigma_thresh: float = 1e-8
     stop_thresh: float = 1e-7
@@ -77,6 +78,8 @@ def init_voxel_grid(cfg: VoxelGridConfig) -> VoxelGrid:
     if cfg.background_nlayers > 0:
         r = cfg.background_reso
         bg = jnp.zeros((2 * r, r, cfg.background_nlayers, 4), jnp.float32)
+        # opt.py:124: background_data[..., -1] = init_sigma_bg
+        bg = bg.at[..., 3].set(cfg.init_sigma_bg)
     return VoxelGrid(
         density=jnp.full((x, y, z), cfg.init_sigma, jnp.float32),
         sh=jnp.zeros((x, y, z, 3 * cfg.basis_dim), jnp.float32),
@@ -397,6 +400,57 @@ def tv_loss(field: jnp.ndarray, alive: Optional[jnp.ndarray] = None) -> jnp.ndar
     dz = field[:, :, 1:] - field[:, :, :-1]
     n = field.shape[0] * field.shape[1] * field.shape[2]
     return (jnp.sum(dx ** 2) + jnp.sum(dy ** 2) + jnp.sum(dz ** 2)) / n
+
+
+def compose_msi_background(bg, rgb_flatbg, log_t, rays_o, rays_d,
+                           cfg: VoxelGridConfig):
+    """Replace a render's flat background_brightness fill with the MSI
+    background: ``rgb_flatbg`` [N,3] must already include
+    exp(log_t)*background_brightness (the fused kernel's output), ``log_t``
+    is the final log-transmittance.  Differentiable wrt everything."""
+    remaining = jnp.exp(log_t)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    wstep = cfg.step_size / jnp.linalg.norm(
+        viewdirs * grid_scaling(cfg), axis=-1)
+    bg_rgb, bg_rem = msi_background(bg, rays_o, viewdirs, remaining, wstep,
+                                    cfg)
+    return (rgb_flatbg - remaining[:, None] * cfg.background_brightness
+            + bg_rgb + bg_rem[:, None] * cfg.background_brightness)
+
+
+def tv_loss_background(bg: jnp.ndarray, scaling_color: float = 1.0,
+                       scaling_density: float = 1.0) -> jnp.ndarray:
+    """TV of the MSI background (loss_kernel.cu:249 msi_tv_grad analog):
+    squared forward diffs over the equirect (lon, lat) axes per layer, with
+    longitude wraparound; color channels scaled by ``scaling_color``, the
+    sigma channel by ``scaling_density``; normalized per cell."""
+    dx = jnp.roll(bg, -1, axis=0) - bg          # lon wraps
+    dy = bg[:, 1:] - bg[:, :-1]
+    n = bg.shape[0] * bg.shape[1] * bg.shape[2]
+    tv_c = (jnp.sum(dx[..., :3] ** 2) + jnp.sum(dy[..., :3] ** 2)) / n
+    tv_d = (jnp.sum(dx[..., 3] ** 2) + jnp.sum(dy[..., 3] ** 2)) / n
+    return scaling_color * tv_c + scaling_density * tv_d
+
+
+def _dilate2d(mask: jnp.ndarray) -> jnp.ndarray:
+    """8-neighborhood dilation on a [W, H] bool mask, longitude wrapping."""
+    m = mask
+    m = m | jnp.roll(mask, 1, 0) | jnp.roll(mask, -1, 0)
+    my = jnp.pad(m, ((0, 0), (1, 1)))
+    return m | my[:, 2:] | my[:, :-2]
+
+
+def sparsify_background(bg: jnp.ndarray, sigma_thresh: float = 1.0,
+                        dilate: int = 1):
+    """Dense analog of svox2.py:1431 sparsify_background: cells whose sigma
+    stays below ``sigma_thresh`` in EVERY layer (after 2-D dilation of the
+    keep mask) are emptied.  The reference sets background_links=-1 and drops
+    the rows; the dense TPU grid zeroes them and returns the [2R, R] alive
+    mask so the trainer can pin them (grads masked, never revived)."""
+    keep = jnp.any(bg[..., 3] >= sigma_thresh, axis=-1)          # [2R, R]
+    for _ in range(int(dilate)):
+        keep = _dilate2d(keep)
+    return jnp.where(keep[:, :, None, None], bg, 0.0), keep
 
 
 # ---------------------------------------------------------------------------

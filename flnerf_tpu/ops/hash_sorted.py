@@ -152,7 +152,12 @@ def make_split_spec(
     big = _subset(base, n_small, num_levels) if n_small < num_levels else None
     t_cap_big = 0
     if big is not None:
-        t_cap_big = (int(max(big.sizes)) + LANES - 1) // LANES * LANES
+        # pad to a multiple of 8*128 so t_r_big is 8-aligned: the kernels'
+        # slab bases are 8-row-aligned dynamic slices, and an unaligned
+        # t_r_big would leave the table's last <8 rows uncoverable
+        # (ADVICE r2 finding; padding entries are never indexed: idx < size)
+        t_cap_big = (int(max(big.sizes)) + 8 * LANES - 1) // (8 * LANES) \
+            * (8 * LANES)
     return SplitHashSpec(
         base=base, n_small=n_small, small=small, big=big,
         t_cap_big=t_cap_big, t_r_big=t_cap_big // LANES,
@@ -350,8 +355,12 @@ def _base_rows(sidx, spec: SplitHashSpec, geo: _Geom):
     key of the block, floored to the 8-row alignment dynamic slices
     require, clamped into the table."""
     first = sidx.reshape(spec.n_big, geo.nblk, BLOCK)[..., 0]
-    base = jnp.clip((first >> 7) & ~jnp.int32(7), 0,
-                    max(spec.t_r_big - geo.r_max, 0))
+    # upper clamp must itself be 8-aligned: t_r_big is t_cap_big/128 and is
+    # NOT always a multiple of 8 (e.g. a dense top level of 29792 entries
+    # -> t_r 233); an unaligned clamp would break the pl.multiple_of(base,
+    # 8) promise in the kernels (ADVICE r2: silent wrong-DMA hazard).
+    hi = max(spec.t_r_big - geo.r_max, 0) & ~7
+    base = jnp.clip((first >> 7) & ~jnp.int32(7), 0, hi)
     return base.reshape(-1)
 
 

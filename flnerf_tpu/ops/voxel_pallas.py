@@ -731,7 +731,14 @@ def _render_bwd(cfg, res, g):
     bg = cfg.background_brightness
     s_tot = jnp.sum(g_rgb * (out[..., 0:3] - t_fin * bg), axis=-1,
                     keepdims=True)
-    tfin_gbg = t_fin * jnp.sum(g_rgb * bg, axis=-1, keepdims=True)
+    # ch 4 (final log-transmittance) is differentiable: logT_fin is a plain
+    # sum of per-sample log_att, so an upstream gradient on it adds linearly
+    # to the same per-sample term that carries the kernel's own T_fin*bg
+    # coupling (enables external compositing, e.g. the trained MSI
+    # background, on top of the fused kernel).  depth/acc grads stay
+    # unsupported (never part of a training loss here).
+    tfin_gbg = (t_fin * jnp.sum(g_rgb * bg, axis=-1, keepdims=True)
+                + g[..., 4:5])
     gray = jnp.concatenate(
         [g_rgb, s_tot, tfin_gbg,
          jnp.zeros(g_rgb.shape[:-1] + (3,), jnp.float32)], axis=-1

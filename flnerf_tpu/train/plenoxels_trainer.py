@@ -28,9 +28,13 @@ from flnerf_tpu.core.metrics import compute_ssim, mse2psnr
 from flnerf_tpu.models.voxel_sh import (
     VoxelGrid,
     VoxelGridConfig,
+    grid_scaling,
     init_voxel_grid,
+    msi_background,
     prune_grid,
+    sparsify_background,
     tv_loss,
+    tv_loss_background,
     upsample_grid,
     voxel_render_rays,
 )
@@ -66,6 +70,16 @@ class PlenoxelsTrainConfig(NamedTuple):
     rms_beta: float = 0.95
     lambda_tv: float = 1e-5
     lambda_tv_sh: float = 1e-3
+    # MSI background optimization (opt.py:499-500 optim_background_step +
+    # argument_parser.py:95-109 LR schedule, 208-211 TV weights); active
+    # whenever the grid carries a background (background_nlayers > 0)
+    lr_sigma_bg: float = 3e0
+    lr_sigma_bg_final: float = 3e-3
+    lr_color_bg: float = 1e-1
+    lr_color_bg_final: float = 5e-6
+    lambda_tv_background_sigma: float = 1e-2
+    lambda_tv_background_color: float = 1e-2
+    background_density_thresh: float = 1.0  # sparsify_background threshold
     subdivide_every: int = 1
     subdivide_thres: float = 0.015
     prob_sampling: bool = False
@@ -86,6 +100,10 @@ class PlenoxelsState(NamedTuple):
     rms_density: jnp.ndarray
     rms_sh: jnp.ndarray
     step: jnp.ndarray
+    # MSI background optimizer state (svox2.py:2048 background_rms) and the
+    # dense analog of background_links >= 0 (sparsify_background pin mask)
+    rms_bg: Optional[jnp.ndarray] = None
+    bg_alive: Optional[jnp.ndarray] = None
 
 
 def _leaf_buf_size(n: int) -> int:
@@ -106,12 +124,16 @@ class PlenoxelsTrainer:
         self.cfg = train_cfg
         grid = init_voxel_grid(grid_cfg)
         rep = replicated(self.mesh)
+        has_bg = grid.background is not None
         self.state = jax.device_put(
             PlenoxelsState(
                 grid,
                 jnp.zeros_like(grid.density),
                 jnp.zeros_like(grid.sh),
                 jnp.int32(0),
+                rms_bg=jnp.zeros_like(grid.background) if has_bg else None,
+                bg_alive=(jnp.ones(grid.background.shape[:2], bool)
+                          if has_bg else None),
             ),
             rep,
         )
@@ -122,18 +144,24 @@ class PlenoxelsTrainer:
     def _make_chunk_fn(self, leaf_buf: int, gcfg: VoxelGridConfig):
         cfg = self.cfg
         use_kernel = cfg.use_kernel
+        has_bg = gcfg.background_nlayers > 0
         # multichip kernel path only when each device's ray shard packs into
         # whole RB-ray blocks (never inflate the user's batch for it)
         n_dev = int(self.mesh.devices.size)
         shard_kernel = (use_kernel and n_dev > 1
                         and cfg.batch_size % (vp.RB * n_dev) == 0)
 
-        def _kernel_fwd(density, sh, alive, origins, dirs, rgb, mask):
+        def _kernel_fwd(density, sh, bgv, bg_alive, alive, origins, dirs,
+                        rgb, mask):
             """Pallas-path squared-error sum + grads for a ray shard.
-            Returns SUMS (not means) so the multichip psum composes."""
+            Returns SUMS (not means) so the multichip psum composes.
+            ``bgv``/``bg_alive`` are None without a background."""
 
             def raw_loss(train_vars):
-                density, sh = train_vars
+                if has_bg:
+                    density, sh, bgv = train_vars
+                else:
+                    density, sh = train_vars
                 grid = VoxelGrid(density, sh, alive)
                 # Fused Pallas path (the volume_render_cuvol_fused analog).
                 # Spread-violating blocks drop out of the loss.
@@ -142,16 +170,36 @@ class PlenoxelsTrainer:
                 table = vp.pack_table(grid, gcfg)
                 kout = vp.render_blocks(
                     table, blocks.rays, blocks.corners, blocks.valid, gcfg)
-                rgb_out = kout.reshape(-1, 8)[:, 0:3]
+                flat = kout.reshape(-1, 8)
+                rgb_out = flat[:, 0:3]
+                if has_bg:
+                    # compose the MSI background on top of the fused kernel:
+                    # ch 4 (final logT) is differentiable through the kernel
+                    # VJP, so density still feels the bg occlusion gradient
+                    # (svox2's fused bg compositing, cuvol.cu:775-860)
+                    remaining = jnp.exp(flat[:, 4])
+                    viewdirs = dirs / jnp.linalg.norm(
+                        dirs, axis=-1, keepdims=True)
+                    wstep = gcfg.step_size / jnp.linalg.norm(
+                        viewdirs * grid_scaling(gcfg), axis=-1)
+                    bgm = jnp.where(bg_alive[:, :, None, None], bgv, 0.0)
+                    bg_rgb, bg_rem = msi_background(
+                        bgm, origins, viewdirs, remaining, wstep, gcfg)
+                    rgb_out = (rgb_out
+                               - remaining[:, None] * gcfg.background_brightness
+                               + bg_rgb
+                               + bg_rem[:, None] * gcfg.background_brightness)
                 ray_ok = jnp.repeat(blocks.ok.astype(jnp.float32), vp.RB)
                 eff = mask * ray_ok
                 sq = jnp.sum(eff[:, None] * (rgb_out - rgb) ** 2)
                 per_ray_err = jnp.max(jnp.abs(rgb_out - rgb), -1)
                 return sq, (per_ray_err, eff)
 
+            tv = (density, sh, bgv) if has_bg else (density, sh)
             (sq, (per_ray_err, eff)), grads = jax.value_and_grad(
-                raw_loss, has_aux=True)((density, sh))
-            return sq, grads[0], grads[1], per_ray_err, eff
+                raw_loss, has_aux=True)(tv)
+            g_bg = grads[2] if has_bg else None
+            return sq, grads[0], grads[1], g_bg, per_ray_err, eff
 
         if shard_kernel:
             # Multichip kernel path: rays sharded over the data axis (each
@@ -159,19 +207,25 @@ class PlenoxelsTrainer:
             # kernels — grids replicate, grads psum over ICI); the TV
             # regularizer is added once outside the psum (DESIGN.md:
             # multichip plenoxels).
-            def _sharded(density, sh, alive, origins, dirs, rgb, mask):
-                sq, g_d, g_s, per_ray_err, eff = _kernel_fwd(
-                    density, sh, alive, origins, dirs, rgb, mask)
+            def _sharded(density, sh, bgv, bg_alive, alive, origins, dirs,
+                         rgb, mask):
+                sq, g_d, g_s, g_bg, per_ray_err, eff = _kernel_fwd(
+                    density, sh, bgv, bg_alive, alive, origins, dirs, rgb,
+                    mask)
                 sq = jax.lax.psum(sq, DATA_AXIS)
                 g_d = jax.lax.psum(g_d, DATA_AXIS)
                 g_s = jax.lax.psum(g_s, DATA_AXIS)
-                return sq, g_d, g_s, per_ray_err, eff
+                if has_bg:
+                    g_bg = jax.lax.psum(g_bg, DATA_AXIS)
+                return sq, g_d, g_s, g_bg, per_ray_err, eff
 
+            bg_spec = P()   # ignored (empty subtree) when bg args are None
             sharded_kernel_fwd = jax.shard_map(
                 _sharded, mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
-                          P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=(P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                in_specs=(P(), P(), bg_spec, bg_spec, P(), P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), P(), P(), bg_spec, P(DATA_AXIS),
+                           P(DATA_AXIS)),
                 check_vma=False,
             )
 
@@ -179,8 +233,15 @@ class PlenoxelsTrainer:
             origins, dirs, rgb, leaf, mask = xs
 
             def loss_fn(train_vars):
-                density, sh = train_vars
-                grid = state.grid._replace(density=density, sh=sh)
+                if has_bg:
+                    density, sh, bgv = train_vars
+                    bgm = jnp.where(
+                        state.bg_alive[:, :, None, None], bgv, 0.0)
+                    grid = state.grid._replace(
+                        density=density, sh=sh, background=bgm)
+                else:
+                    density, sh = train_vars
+                    grid = state.grid._replace(density=density, sh=sh)
                 out = voxel_render_rays(grid, origins, dirs, gcfg)
                 eff_mask = mask
                 m = eff_mask[:, None]
@@ -188,34 +249,50 @@ class PlenoxelsTrainer:
                 mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
                 reg = cfg.lambda_tv * tv_loss(density, state.grid.alive)
                 reg = reg + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive)
+                if has_bg:
+                    reg = reg + tv_loss_background(
+                        bgv, cfg.lambda_tv_background_color,
+                        cfg.lambda_tv_background_sigma)
                 per_ray_err = jnp.max(jnp.abs(out["rgb"] - rgb), -1)
                 return mse + reg, (mse, per_ray_err, eff_mask)
 
             def reg_grads(train_vars):
-                density, sh = train_vars
-                return (cfg.lambda_tv * tv_loss(density, state.grid.alive)
-                        + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive))
+                density, sh = train_vars[:2]
+                reg = (cfg.lambda_tv * tv_loss(density, state.grid.alive)
+                       + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive))
+                if has_bg:
+                    reg = reg + tv_loss_background(
+                        train_vars[2], cfg.lambda_tv_background_color,
+                        cfg.lambda_tv_background_sigma)
+                return reg
 
+            train_vars = (state.grid.density, state.grid.sh)
+            if has_bg:
+                train_vars = train_vars + (state.grid.background,)
+            g_bg = None
             # (loss aux carries eff_mask so the epoch MSE can be weighted by
             # the number of rays that actually contributed)
             if use_kernel:
-                tv = (state.grid.density, state.grid.sh)
                 fwd = sharded_kernel_fwd if shard_kernel else (
                     lambda *a: _kernel_fwd(*a))
-                sq, g_density, g_sh, per_ray_err, eff_mask = fwd(
-                    state.grid.density, state.grid.sh, state.grid.alive,
+                sq, g_density, g_sh, g_bg, per_ray_err, eff_mask = fwd(
+                    state.grid.density, state.grid.sh,
+                    state.grid.background, state.bg_alive, state.grid.alive,
                     origins, dirs, rgb, mask)
                 denom = jnp.maximum(jnp.sum(eff_mask), 1.0) * 3.0
                 mse = sq / denom
                 # SUM-loss grads -> mean-loss grads, + TV added once
-                rg = jax.grad(reg_grads)(tv)
+                rg = jax.grad(reg_grads)(train_vars)
                 g_density = g_density / denom + rg[0]
                 g_sh = g_sh / denom + rg[1]
+                if has_bg:
+                    g_bg = g_bg / denom + rg[2]
             else:
                 (loss, (mse, per_ray_err, eff_mask)), grads = (
-                    jax.value_and_grad(loss_fn, has_aux=True)(
-                        (state.grid.density, state.grid.sh)))
-                g_density, g_sh = grads
+                    jax.value_and_grad(loss_fn, has_aux=True)(train_vars))
+                g_density, g_sh = grads[0], grads[1]
+                if has_bg:
+                    g_bg = grads[2]
 
             step_f = state.step.astype(jnp.float32)
             lr_sigma = expon_lr(
@@ -236,6 +313,23 @@ class PlenoxelsTrainer:
             )
             new_sh = state.grid.sh - lr_sh * g_sh / (jnp.sqrt(rms_s) + 1e-8)
 
+            new_bg, rms_bg = state.grid.background, state.rms_bg
+            if has_bg:
+                # optim_background_step (svox2.py:2048): one RMSProp step
+                # with lr_color on rgb channels and lr_sigma_bg on sigma;
+                # sparsified cells stay pinned (grads masked)
+                lr_s_bg = expon_lr(step_f, cfg.lr_sigma_bg,
+                                   cfg.lr_sigma_bg_final, 0, 1.0,
+                                   cfg.lr_decay_steps)
+                lr_c_bg = expon_lr(step_f, cfg.lr_color_bg,
+                                   cfg.lr_color_bg_final, 0, 1.0,
+                                   cfg.lr_decay_steps)
+                g_bg = jnp.where(state.bg_alive[:, :, None, None], g_bg, 0.0)
+                rms_bg = b * state.rms_bg + (1 - b) * g_bg ** 2
+                lr_bg = jnp.stack([lr_c_bg, lr_c_bg, lr_c_bg, lr_s_bg])
+                new_bg = state.grid.background - lr_bg * g_bg / (
+                    jnp.sqrt(rms_bg) + 1e-8)
+
             safe_leaf = jnp.where(eff_mask > 0, leaf, leaf_buf - 1)
             err_buf = (
                 err_buf[0].at[safe_leaf].add(
@@ -243,8 +337,10 @@ class PlenoxelsTrainer:
                 err_buf[1].at[safe_leaf].add(eff_mask),
             )
             new_state = PlenoxelsState(
-                state.grid._replace(density=new_density, sh=new_sh),
+                state.grid._replace(density=new_density, sh=new_sh,
+                                    background=new_bg),
                 rms_d, rms_s, state.step + 1,
+                rms_bg=rms_bg, bg_alive=state.bg_alive,
             )
             return new_state, err_buf, (mse, jnp.sum(eff_mask))
 
@@ -421,6 +517,13 @@ class PlenoxelsTrainer:
                     print(f"  subdivided {n_split} -> {budgeter.forest.n_leaves} leaves")
 
             if epoch_id in cfg.upsample_epochs:
+                # sparsify the MSI background BEFORE resampling, like
+                # opt.py:593-594 (early upsample boundaries only)
+                if (self.state.grid.background is not None
+                        and epoch_id <= min(cfg.upsample_epochs)):
+                    n_dead = self.sparsify_bg()
+                    if verbose:
+                        print(f"  sparsified background: {n_dead} cells off")
                 new_reso = tuple(r * 2 for r in self.gcfg.reso)
                 self.resample(new_reso)
                 if verbose:
@@ -446,6 +549,7 @@ class PlenoxelsTrainer:
         grid = upsample_grid(self.state.grid, new_reso)
         if prune:
             grid = prune_grid(grid, self.cfg.prune_sigma_thresh)
+        grid = grid._replace(background=self.state.grid.background)
         self.gcfg = self.gcfg._replace(reso=new_reso)
         rep = replicated(self.mesh)
         self.state = jax.device_put(
@@ -454,10 +558,27 @@ class PlenoxelsTrainer:
                 jnp.zeros_like(grid.density),
                 jnp.zeros_like(grid.sh),
                 self.state.step,
+                rms_bg=self.state.rms_bg,
+                bg_alive=self.state.bg_alive,
             ),
             rep,
         )
         self._chunk_fns.clear()
+
+    def sparsify_bg(self):
+        """svox2.py:1431 sparsify_background at the trainer level: empties
+        background cells below ``background_density_thresh`` in every layer
+        (after dilation) and pins them via the alive mask.  The reference
+        runs this at the early upsample boundaries (opt.py:593-594)."""
+        if self.state.grid.background is None:
+            return 0
+        bg, keep = sparsify_background(
+            self.state.grid.background, self.cfg.background_density_thresh)
+        keep = keep & self.state.bg_alive
+        bg = jnp.where(keep[:, :, None, None], bg, 0.0)
+        self.state = self.state._replace(
+            grid=self.state.grid._replace(background=bg), bg_alive=keep)
+        return int(np.sum(~np.asarray(keep)))
 
     def render_image(self, H, W, K, c2w, chunk: int = 4096,
                      use_kernel: Optional[bool] = None):

@@ -1,0 +1,273 @@
+"""NGP step profiler — breaks the train step into timed pieces on real TPU.
+
+Timing method (CLAUDE.md): scan-chained rep counts inside one jit with a
+single float() sync, slope between two rep counts.  Per-call dispatch
+(~2.5 ms) and the 28 ms tunnel sync never enter the slope.
+
+Run:  python tools/profile_ngp.py [piece ...]
+Pieces default to all.  Prints one line per piece: "<name>: <ms> ms".
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPS = (3, 13)
+
+
+def slope_ms(mk, *args):
+    """mk(n) -> jitted fn(*args) returning a pytree; returns ms per rep."""
+    r1, r2 = REPS
+    f1, f2 = mk(r1), mk(r2)
+
+    def sync(out):
+        return float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+    sync(f1(*args))
+    sync(f2(*args))
+    ts = []
+    for f in (f1, f2, f1, f2):
+        t0 = time.perf_counter()
+        sync(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return (min(ts[1], ts[3]) - min(ts[0], ts[2])) / (r2 - r1) * 1e3
+
+
+def scan_chain(step):
+    """step(carry, i) -> carry;  mk(n) runs it n times."""
+
+    def mk(n):
+        @jax.jit
+        def f(carry):
+            def body(c, i):
+                return step(c, i), ()
+
+            c, _ = jax.lax.scan(body, carry, jnp.arange(n))
+            return c
+
+        return f
+
+    return mk
+
+
+def p_sort(levels=14, log_m=17):
+    from flnerf_tpu.ops.sort_pallas import bitonic_sort
+
+    m = 1 << log_m
+    k = jax.random.randint(jax.random.PRNGKey(0), (levels, m), 0, 1 << 19)
+    pay = jnp.arange(levels * m, dtype=jnp.int32).reshape(levels, m)
+
+    def step(c, i):
+        keys, p = c
+        sk, sp = bitonic_sort(keys ^ (i + 1), p)
+        return (sk, sp)
+
+    ms = slope_ms(scan_chain(step), (k, pay))
+    print(f"sort_{levels}x2^{log_m}: {ms:.2f} ms", flush=True)
+
+
+def _engine_spec(log2):
+    from flnerf_tpu.ops.hash_sorted import make_split_spec
+
+    return make_split_spec(num_levels=16, level_dim=2, base_resolution=16,
+                           log2_hashmap_size=log2, desired_resolution=2048)
+
+
+def p_engine(log2=19, n_pts=16384, chunk=16384, fwd_only=False):
+    from flnerf_tpu.ops.hash_sorted import (
+        hash_encode_sorted, init_split_table,
+    )
+
+    spec = _engine_spec(log2)
+    tables = init_split_table(jax.random.PRNGKey(0), spec)
+    tb = tables[1]
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n_pts, 3))
+
+    def encode(tb, xx):
+        outs = [
+            hash_encode_sorted(xx[i:i + chunk], tb, spec)
+            for i in range(0, n_pts, chunk)
+        ]
+        return jnp.concatenate(outs, 0)
+
+    if fwd_only:
+        def step(c, i):
+            tb, acc = c
+            out = encode(tb, x + 1e-7 * i)
+            return (tb, acc + jnp.sum(out))
+
+        ms = slope_ms(scan_chain(step), (tb, jnp.float32(0)))
+        tag = "fwd"
+    else:
+        def step(c, i):
+            tb = c
+            g = jax.grad(lambda t: jnp.sum(encode(t, x + 1e-7 * i) ** 2))(tb)
+            return tb + 1e-9 * g
+
+        ms = slope_ms(scan_chain(step), tb)
+        tag = "fwdbwd"
+    print(f"engine{log2}_{tag}_{n_pts}pts_c{chunk}: {ms:.2f} ms", flush=True)
+
+
+def p_matmul(log2=15, n_pts=16384):
+    from flnerf_tpu.ops.hash_pallas import (
+        hash_encode_pallas, init_packed_table, make_packed_spec,
+    )
+
+    spec = make_packed_spec(num_levels=16, level_dim=2, base_resolution=16,
+                           log2_hashmap_size=log2, desired_resolution=2048)
+    table = init_packed_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n_pts, 3))
+
+    def step(tb, i):
+        g = jax.grad(
+            lambda t: jnp.sum(hash_encode_pallas(x + 1e-7 * i, t, spec,
+                                                 2048) ** 2))(tb)
+        return tb + 1e-9 * g
+
+    ms = slope_ms(scan_chain(step), table)
+    print(f"matmul{log2}_fwdbwd_{n_pts}pts: {ms:.2f} ms", flush=True)
+
+
+def _field(log2=15):
+    from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
+
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2)
+    return cfg, make_ngp_field(cfg, jnp.bfloat16)
+
+
+def p_step(log2=15, n_rays=4096):
+    """Full render fwd+bwd at bench shapes (no optimizer/occ update)."""
+    from flnerf_tpu.models.hash_ngp import init_ngp
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, init_occupancy, ngp_render_rays,
+    )
+
+    cfg, (init_fn, density_fn, rgb_fn) = _field(log2)
+    rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
+                           bound=1.5)
+    params = init_fn(jax.random.PRNGKey(0))
+    occ = init_occupancy(rcfg)
+    occ = occ._replace(
+        density=jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape))
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.2
+    d[:, 2] -= 1.0
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    gt = jnp.asarray(rng.random((n_rays, 3)), np.float32)
+
+    def step(params, i):
+        def loss(p):
+            out = ngp_render_rays(jax.random.PRNGKey(0), p, density_fn,
+                                  rgb_fn, occ, o, d, rcfg, perturb=False)
+            return jnp.mean((out["rgb"] - gt) ** 2)
+
+        g = jax.grad(loss)(params)
+        return jax.tree_util.tree_map(lambda a, b: a + 1e-9 * b, params, g)
+
+    ms = slope_ms(scan_chain(step), params)
+    print(f"render_fwdbwd_log2={log2}_{n_rays}rays: {ms:.2f} ms", flush=True)
+
+
+def p_march(n_rays=4096):
+    """Marching prep only: candidates + occupancy + argsort compaction."""
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, init_occupancy, near_far_from_aabb,
+        occupancy_lookup,
+    )
+
+    rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
+                           bound=1.5)
+    occ = init_occupancy(rcfg)
+    occ = occ._replace(
+        density=jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape))
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.2
+    d[:, 2] -= 1.0
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    S, K = rcfg.n_candidates, rcfg.n_keep
+
+    def step(acc, i):
+        near, far, hit = near_far_from_aabb(o, d, rcfg.bound, rcfg.min_near)
+        t = jnp.linspace(0.0, 1.0, S)
+        z = near[:, None] + (far - near)[:, None] * t[None, :] + 1e-7 * i
+        xyz = jnp.clip(o[:, None, :] + d[:, None, :] * z[..., None],
+                       -rcfg.bound, rcfg.bound)
+        m = occupancy_lookup(occ, xyz, rcfg) & hit[:, None]
+        order = jnp.argsort(jnp.logical_not(m), axis=-1, stable=True)[:, :K]
+        zk = jnp.take_along_axis(z, order, axis=-1)
+        return acc + jnp.sum(zk)
+
+    ms = slope_ms(scan_chain(step), jnp.float32(0))
+    print(f"march_prep_{n_rays}rays: {ms:.2f} ms", flush=True)
+
+
+def p_mlp(n_pts=65536):
+    """Sigma+color MLP + SH encode fwd+bwd, hash features faked."""
+    from flnerf_tpu.models.hash_ngp import (
+        NGPConfig, _mlp, init_ngp, make_ngp_spec,
+    )
+    from flnerf_tpu.ops.activations import trunc_exp
+    from flnerf_tpu.ops.sh_encoding import sh_encode
+
+    cfg = NGPConfig(bound=1.5)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (n_pts, 32))
+    d = jax.random.normal(jax.random.PRNGKey(2), (n_pts, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    def step(p, i):
+        def loss(p):
+            h = _mlp(enc + 1e-7 * i, p["sigma_net"], jnp.bfloat16)
+            sigma = trunc_exp(h[..., 0])
+            sh = sh_encode(d, cfg.sh_degree)
+            h2 = jnp.concatenate([sh, h[..., 1:]], -1)
+            rgb = jax.nn.sigmoid(_mlp(h2, p["color_net"], jnp.bfloat16))
+            return jnp.sum(sigma) * 1e-6 + jnp.sum(rgb)
+
+        g = jax.grad(loss)(p)
+        return jax.tree_util.tree_map(lambda a, b: a + 1e-9 * b, p, g)
+
+    sub = {"sigma_net": params["sigma_net"], "color_net": params["color_net"]}
+    ms = slope_ms(scan_chain(step), sub)
+    print(f"mlp_fwdbwd_{n_pts}pts: {ms:.2f} ms", flush=True)
+
+
+ALL = {
+    "sort17": lambda: p_sort(14, 17),
+    "sort15": lambda: p_sort(14, 15),
+    "engine19": lambda: p_engine(19, 16384, 16384),
+    "engine19_fwd": lambda: p_engine(19, 16384, 16384, fwd_only=True),
+    "engine19_c8k": lambda: p_engine(19, 16384, 8192),
+    "engine19_c4k": lambda: p_engine(19, 16384, 4096),
+    "engine15": lambda: p_engine(15, 16384, 16384),
+    "engine15_c4k": lambda: p_engine(15, 16384, 4096),
+    "engine15_c2k": lambda: p_engine(15, 16384, 2048),
+    "matmul15": lambda: p_matmul(15, 16384),
+    "step15": lambda: p_step(15),
+    "march": lambda: p_march(),
+    "mlp": lambda: p_mlp(),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        try:
+            ALL[n]()
+        except Exception as e:
+            print(f"{n}: ERROR {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
