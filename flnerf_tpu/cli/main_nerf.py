@@ -144,7 +144,7 @@ def main(argv=None):
         max_steps=args.iters, batch_rays=args.num_rays, lr=args.lr,
         steps_per_chunk=args.steps_per_chunk, use_prob_map=args.prob_map,
         use_error_map=args.error_map, ema_decay=0.95 if args.O else 0.0,
-        bg_color=1.0, seed=args.seed,
+        bg_color=1.0, seed=args.seed, patch_size=args.patch_size,
     )
     trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg, bg_fn=bg_fn)
 

@@ -78,7 +78,46 @@ def main(argv=None):
         sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg,
                              seed=args.seed)
         t0 = _time.time()
-        trainer.fit(sampler)
+        # upsample schedule (main_tensoRF.py:132: log-spaced voxel counts;
+        # tensoRF/utils.py:112-128: shrink -> adaptive reso -> upsample ->
+        # optimizer reset at each boundary).  CP keeps a plain fit (the
+        # reference's CP main uses the same trainer but our variant has no
+        # shrink — aabb shrink is a VM-model feature, network.py:283).
+        ups = sorted(s for s in (args.upsample_model_steps or [])
+                     if 0 < s < args.iters)
+        if ups and not args.cp:
+            import numpy as _np
+
+            from flnerf_tpu.models.tensorf import (
+                shrink_tensorf, upsample_tensorf,
+            )
+
+            n_voxels = _np.round(_np.exp(_np.linspace(
+                _np.log(args.resolution0 ** 3),
+                _np.log(args.resolution1 ** 3), len(ups) + 1)))[1:]
+            done = 0
+            for si, step in enumerate(ups + [args.iters]):
+                trainer.fit(sampler, n_steps=step - done)
+                done = step
+                if step >= args.iters:
+                    break
+                params = trainer.state.params
+                params, cfg = shrink_tensorf(
+                    params, cfg, _np.asarray(trainer.occ.density),
+                    float(trainer.occ.mean_density), rcfg.bound,
+                    rcfg.density_thresh)
+                aabb = _np.asarray(cfg.aabb if cfg.aabb is not None else
+                                   (-args.bound,) * 3 + (args.bound,) * 3)
+                vox = _np.cbrt(_np.prod(aabb[3:] - aabb[:3]) / n_voxels[si])
+                reso = _np.maximum(
+                    ((aabb[3:] - aabb[:3]) / vox).astype(_np.int64), 8)
+                params, cfg = upsample_tensorf(params, cfg, tuple(reso))
+                print(f"[INFO] step {step}: shrink+upsample -> "
+                      f"reso {cfg.resolution} aabb {cfg.aabb}")
+                _, density_fn, rgb_fn = make_tensorf_field(cfg, compute_dtype)
+                trainer.replace_field(density_fn, rgb_fn, params)
+        else:
+            trainer.fit(sampler)
         with open(os.path.join(args.workspace, "time_mins.txt"), "w") as f:
             f.write(f"{(_time.time()-t0)/60:.3f}\n")
         trainer.save_checkpoint(args.workspace)

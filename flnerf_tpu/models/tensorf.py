@@ -44,6 +44,10 @@ class TensoRFConfig(NamedTuple):
     dir_multires: int = 2
     bound: float = 1.0
     l1_reg_weight: float = 1e-4   # tensoRF/utils.py:46
+    # training AABB (xyz_min + xyz_max); None = the [-bound, bound] cube.
+    # shrink_tensorf tightens it from occupancy stats (network.py:283
+    # shrink_model: aabb_train starts as the bound cube and shrinks).
+    aabb: Tuple[float, ...] = None
 
 
 def init_tensorf(key, cfg: TensoRFConfig) -> Params:
@@ -141,7 +145,7 @@ def make_tensorf_field(cfg: TensoRFConfig, compute_dtype=jnp.bfloat16):
 
     def density_fn(params, x):
         sh = x.shape[:-1]
-        x01 = jnp.clip(x.reshape(-1, 3) / cfg.bound, -1.0, 1.0)
+        x01 = jnp.clip(norm_coords(x.reshape(-1, 3), cfg), -1.0, 1.0)
         sig_feat = jnp.sum(_vm_features(params["sigma_mat"], params["sigma_vec"], x01), 0)
         sigma = trunc_exp(sig_feat)
         col = _vm_features(params["color_mat"], params["color_vec"], x01)  # [3R, N]
@@ -168,6 +172,16 @@ def make_tensorf_field(cfg: TensoRFConfig, compute_dtype=jnp.bfloat16):
         return jax.nn.sigmoid(h).reshape(*sh, 3)
 
     return init_fn, density_fn, rgb_fn
+
+
+def norm_coords(x: jnp.ndarray, cfg) -> jnp.ndarray:
+    """World -> [-1, 1]^3 factor coordinates over the training AABB
+    (network.py:147: (x - aabb[:3]) / (aabb[3:] - aabb[:3]) rescaled)."""
+    if cfg.aabb is None:
+        return x / cfg.bound
+    amin = jnp.asarray(cfg.aabb[:3], jnp.float32)
+    amax = jnp.asarray(cfg.aabb[3:], jnp.float32)
+    return 2.0 * (x - amin) / (amax - amin) - 1.0
 
 
 def density_l1_loss(params: Params) -> jnp.ndarray:
@@ -203,3 +217,61 @@ def upsample_tensorf(params: Params, cfg: TensoRFConfig, new_resolution) -> Tupl
     new["sigma_mat"], new["sigma_vec"] = up(params["sigma_mat"], params["sigma_vec"])
     new["color_mat"], new["color_vec"] = up(params["color_mat"], params["color_vec"])
     return new, cfg._replace(resolution=tuple(new_resolution))
+
+
+def shrink_tensorf(
+    params: Params,
+    cfg: TensoRFConfig,
+    occ_density: np.ndarray,
+    mean_density: float,
+    grid_bound: float,
+    density_thresh: float = 0.01,
+) -> Tuple[Params, TensoRFConfig]:
+    """AABB shrink from occupancy stats (network.py:283-319 shrink_model):
+    the occupied cells of the density grid give a tight world AABB; the
+    VM factor planes/lines are SLICED to the matching index windows and
+    the config's training aabb is replaced.  Host-side numpy (a deliberate
+    recompile boundary, like upsample — SURVEY §7.4 hard part 4)."""
+    g = occ_density.shape[0]
+    dens = np.asarray(occ_density)
+    thresh = min(density_thresh, float(mean_density))
+    valid = np.argwhere(dens > thresh)
+    if valid.size == 0:
+        return params, cfg
+    half = grid_bound / g
+    pos = (2.0 * valid / (g - 1) - 1.0) * (grid_bound - half)
+    min_pos = pos.min(0) - half
+    max_pos = pos.max(0) + half
+
+    aabb = cfg.aabb if cfg.aabb is not None else (
+        (-cfg.bound,) * 3 + (cfg.bound,) * 3)
+    amin = np.asarray(aabb[:3], np.float64)
+    amax = np.asarray(aabb[3:], np.float64)
+    min_pos = np.maximum(min_pos, amin)
+    max_pos = np.minimum(max_pos, amax)
+    reso = np.asarray(cfg.resolution)
+    units = (amax - amin) / reso
+    tl = np.clip(np.round((min_pos - amin) / units).astype(np.int64), 0, None)
+    br = np.minimum(np.round((max_pos - amin) / units).astype(np.int64), reso)
+    br = np.maximum(br, tl + 1)
+
+    new = dict(params)
+
+    def shrink(mats, vecs):
+        out_m, out_v = [], []
+        for i in range(3):
+            m0, m1 = _MAT_IDS[i]
+            v = _VEC_IDS[i]
+            out_m.append(jnp.asarray(
+                np.asarray(mats[i])[:, tl[m1]:br[m1], tl[m0]:br[m0]]))
+            out_v.append(jnp.asarray(np.asarray(vecs[i])[:, tl[v]:br[v]]))
+        return out_m, out_v
+
+    new["sigma_mat"], new["sigma_vec"] = shrink(
+        params["sigma_mat"], params["sigma_vec"])
+    new["color_mat"], new["color_vec"] = shrink(
+        params["color_mat"], params["color_vec"])
+    return new, cfg._replace(
+        resolution=tuple(int(b - t) for t, b in zip(tl, br)),
+        aabb=tuple(float(v) for v in min_pos) + tuple(float(v) for v in max_pos),
+    )

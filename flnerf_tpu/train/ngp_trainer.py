@@ -50,6 +50,8 @@ class NGPTrainConfig(NamedTuple):
                                    # (renderer.py:455-466: 16 full passes)
     use_prob_map: bool = False     # variance-based image probs (quadtree.py:5)
     use_error_map: bool = False    # --error_map: 128x128 EMA maps (utils.py:505-527)
+    patch_size: int = 1            # >1: patch-mode draw (utils.py:78-95),
+                                   # overrides prob/error-map sampling
     all_pixel_at: float = 1.0      # fraction of training after which probs
                                    # reset to uniform (change_to_allpixel)
     bg_color: float = 1.0
@@ -69,6 +71,7 @@ class NGPSampler:
 
     def __init__(self, images, poses, K, cfg: NGPTrainConfig, seed: int = 0,
                  times=None):
+        self.cfg = cfg
         self.times = np.asarray(times, np.float32) if times is not None else None
         images = np.ascontiguousarray(images, np.float32)
         # RGBA inputs keep their alpha for random-background compositing
@@ -117,6 +120,26 @@ class NGPSampler:
         self.image_probs = None
         self.error_map = None
 
+    def _sample_patches(self, batch: int):
+        """Patch-mode pixel draw (nerf/utils.py:78-95): random top-left
+        corners, a patch_size^2 meshgrid of offsets per corner; overrides
+        prob/error-map sampling (': if use patch-based sampling, ignore
+        error_map').  Used by losses that need image-plane neighborhoods
+        (e.g. LPIPS patches / depth smoothness)."""
+        p = self.cfg.patch_size
+        n_patch = batch // (p * p)
+        ix = self.rng.integers(0, self.H - p, n_patch)
+        iy = self.rng.integers(0, self.W - p, n_patch)
+        pi, pj = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
+        px = (ix[:, None] + pi.reshape(-1)[None]).reshape(-1)
+        py = (iy[:, None] + pj.reshape(-1)[None]).reshape(-1)
+        inds = px * self.W + py
+        if inds.shape[0] < batch:      # batch not divisible by p^2: pad
+            extra = self.rng.integers(0, self.H * self.W,
+                                      batch - inds.shape[0])
+            inds = np.concatenate([inds, extra])
+        return inds
+
     def _sample_error_map(self, i: int, batch: int):
         """2-level error-map draw (nerf/utils.py:113-124): multinomial over
         the coarse map, jitter within the coarse cell."""
@@ -155,14 +178,18 @@ class NGPSampler:
             np.empty((n_steps, batch), np.float32) if self.times is not None else None
         )
         inds_coarse = (
-            np.empty((n_steps, batch), np.int64) if self.error_map is not None else None
+            np.empty((n_steps, batch), np.int64)
+            if self.error_map is not None and self.cfg.patch_size <= 1
+            else None
         )
         hw = self.H * self.W
         for s in range(n_steps):
             i = self._img_cursor % self.n_images
             self._img_cursor += 1
             img_ids[s] = i
-            if self.error_map is not None:
+            if self.cfg.patch_size > 1:
+                inds = self._sample_patches(batch)
+            elif self.error_map is not None:
                 inds, ic = self._sample_error_map(i, batch)
                 inds_coarse[s] = ic
             elif self.image_probs is None:
@@ -388,6 +415,26 @@ class NGPTrainer:
         )
 
     # ------------------------------------------------------------------
+    def replace_field(self, density_fn, rgb_fn, params):
+        """Swap the field functions + parameters mid-run (the tensorf
+        upsample/shrink boundaries, tensoRF/utils.py:112-128): optimizer
+        state resets ('reset optimizer since params changed', :127), the
+        step counter and occupancy grid carry over, and the chunk/occ
+        functions re-jit (a deliberate recompile boundary)."""
+        self.density_fn = density_fn
+        self.rgb_fn = rgb_fn
+        opt_state = self.tx.init(params)
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if self.cfg.ema_decay > 0 else None
+        )
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(
+            NGPTrainState(params, opt_state, self.state.step, ema), rep
+        )
+        self._chunk_fn = self._make_chunk_fn()
+        self._occ_fn = self._make_occ_fn()
+
     def fit(self, sampler: NGPSampler, verbose: bool = True,
             eval_every: int = 0, n_steps: int = None):
         """Train cfg.max_steps steps (or n_steps, for callers that

@@ -436,3 +436,34 @@ def test_dt_gamma_log_spaced_candidates():
     dz = np.diff(z)
     assert (dz[1:] > dz[:-1]).all()
     assert abs(z[0] - near) < 1e-9 and abs(z[-1] - far) < 1e-6
+
+
+def test_patch_mode_sampling():
+    """Patch-mode draw (nerf/utils.py:78-95): batch = contiguous
+    patch_size^2 pixel squares; overrides error-map sampling."""
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+    from flnerf_tpu.train.ngp_trainer import NGPSampler, NGPTrainConfig
+
+    rng = np.random.default_rng(0)
+    H = W = 32
+    images = rng.random((2, H, W, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    poses[:, 2, 3] = 2.0
+    K = intrinsics_matrix(H, W, 40.0)
+    cfg = NGPTrainConfig(batch_rays=64, patch_size=4, use_error_map=True)
+    s = NGPSampler(images, poses, K, cfg, seed=1)
+    o, d, rgb, img_ids, inds_coarse, _ = s.sample_chunk(2, 64)
+    assert inds_coarse is None          # error map ignored in patch mode
+    # reconstruct pixel indices from the gt colors: each group of 16 rays
+    # must be a contiguous 4x4 image patch
+    for step in range(2):
+        i = img_ids[step]
+        flat = images[i].reshape(-1, 3)
+        for pstart in range(0, 64, 16):
+            block = rgb[step, pstart:pstart + 16, :3]
+            idx = np.array([
+                np.argmin(np.abs(flat - px).sum(-1)) for px in block
+            ])
+            xs, ys = idx // W, idx % W
+            assert xs.max() - xs.min() == 3 and ys.max() - ys.min() == 3
+            assert len(np.unique(idx)) == 16
