@@ -96,6 +96,128 @@ def run_pipeline(
     return norm
 
 
+# ---------------------------------------------------------------------------
+# Posed mode: triangulation with KNOWN poses
+# (nerf++-ours/colmap_runner/run_colmap_posed.py)
+# ---------------------------------------------------------------------------
+
+def rotmat2qvec(R):
+    """Rotation matrix -> COLMAP (w, x, y, z) quaternion (the standard
+    eigenvector method COLMAP's own scripts use)."""
+    import numpy as np
+
+    Rxx, Ryx, Rzx, Rxy, Ryy, Rzy, Rxz, Ryz, Rzz = np.asarray(R).flat
+    M = np.array([
+        [Rxx - Ryy - Rzz, 0, 0, 0],
+        [Ryx + Rxy, Ryy - Rxx - Rzz, 0, 0],
+        [Rzx + Rxz, Rzy + Ryz, Rzz - Rxx - Ryy, 0],
+        [Ryz - Rzy, Rzx - Rxz, Rxy - Ryx, Rxx + Ryy + Rzz],
+    ]) / 3.0
+    vals, vecs = np.linalg.eigh(M)
+    q = vecs[[3, 0, 1, 2], np.argmax(vals)]
+    return -q if q[0] < 0 else q
+
+
+def create_init_files(cam_dict: dict, db_file: str, out_dir: str):
+    """Known-pose COLMAP model template (run_colmap_posed.py:53-108):
+    cameras.txt (PINHOLE) + images.txt (pose quaternions) keyed by the
+    image ids COLMAP assigned in the database, + an empty points3D.txt.
+    ``cam_dict`` is this repo's {img_name: {K, W2C, img_size}} layout."""
+    import sqlite3
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    db = sqlite3.connect(db_file)
+    name2id = {row[1]: row[0]
+               for row in db.execute("SELECT image_id, name FROM images")}
+    db.close()
+
+    cam_lines, img_lines = [], []
+    for name, img_id in sorted(name2id.items(), key=lambda kv: kv[1]):
+        if name not in cam_dict:
+            continue
+        v = cam_dict[name]
+        K = np.asarray(v["K"], np.float64).reshape(4, 4)
+        W2C = np.asarray(v["W2C"], np.float64).reshape(4, 4)
+        w, h = v["img_size"]
+        q = rotmat2qvec(W2C[:3, :3])
+        t = W2C[:3, 3]
+        cam_lines.append(
+            f"{img_id} PINHOLE {w} {h} {K[0, 0]} {K[1, 1]} "
+            f"{K[0, 2]} {K[1, 2]}\n")
+        img_lines.append(
+            f"{img_id} {q[0]} {q[1]} {q[2]} {q[3]} "
+            f"{t[0]} {t[1]} {t[2]} {img_id} {name}\n\n")
+
+    with open(os.path.join(out_dir, "cameras.txt"), "w") as fp:
+        fp.writelines(cam_lines)
+    with open(os.path.join(out_dir, "images.txt"), "w") as fp:
+        fp.writelines(img_lines)
+        fp.write("\n")
+    open(os.path.join(out_dir, "points3D.txt"), "w").close()
+
+
+def _posed_cmds(colmap_bin: str, img_dir: str, out_dir: str,
+                use_gpu: bool = False):
+    """SIFT + guided matching with PINHOLE cameras, then (after
+    create_init_files) point_triangulator against the known-pose model
+    (run_colmap_posed.py:25-121 stage flags, CPU-safe)."""
+    db = os.path.join(out_dir, "database.db")
+    sfm = os.path.join(out_dir, "sfm")
+    gpu = "1" if use_gpu else "0"
+    pre = [
+        [colmap_bin, "feature_extractor",
+         "--database_path", db, "--image_path", img_dir,
+         "--ImageReader.camera_model", "PINHOLE",
+         "--SiftExtraction.max_image_size", "5000",
+         "--SiftExtraction.estimate_affine_shape", "0",
+         "--SiftExtraction.domain_size_pooling", "1",
+         "--SiftExtraction.use_gpu", gpu],
+        [colmap_bin, "exhaustive_matcher",
+         "--database_path", db,
+         "--SiftMatching.guided_matching", "1",
+         "--SiftMatching.use_gpu", gpu],
+    ]
+    tri = [
+        [colmap_bin, "point_triangulator",
+         "--database_path", db, "--image_path", img_dir,
+         "--input_path", sfm, "--output_path", sfm,
+         "--Mapper.tri_ignore_two_view_tracks", "1"],
+    ]
+    return pre, tri
+
+
+def run_posed_pipeline(
+    img_dir: str,
+    out_dir: str,
+    cam_dict_file: str,
+    colmap_bin: Optional[str] = None,
+    runner: Optional[Callable] = None,
+) -> str:
+    """run_colmap_posed.py:216-229 main, minus the MVS/poisson tail (those
+    are plain further colmap invocations): sift/match -> known-pose model
+    template -> point_triangulator.  Returns the sfm model dir."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(cam_dict_file) as fp:
+        cam_dict = json.load(fp)
+    colmap_bin = colmap_bin or os.environ.get("COLMAP_BIN", "colmap")
+    runner = runner or (lambda cmd: subprocess.check_call(cmd))
+    pre, tri = _posed_cmds(colmap_bin, img_dir, out_dir)
+    for cmd in pre:
+        print("running:", " ".join(cmd), flush=True)
+        runner(cmd)
+    sfm = os.path.join(out_dir, "sfm")
+    create_init_files(cam_dict, os.path.join(out_dir, "database.db"), sfm)
+    for cmd in tri:
+        print("running:", " ".join(cmd), flush=True)
+        runner(cmd)
+    print(f"posed triangulation model -> {sfm}", flush=True)
+    return sfm
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--img_dir", required=True)
@@ -105,7 +227,15 @@ def main(argv=None):
     p.add_argument("--split", default="train")
     p.add_argument("--skip_sfm", action="store_true",
                    help="post-process an existing sparse/0 model only")
+    p.add_argument("--posed_cam_dict", default=None,
+                   help="cam_dict.json with KNOWN poses: run the "
+                        "run_colmap_posed.py pipeline (triangulation "
+                        "only, no pose estimation)")
     a = p.parse_args(argv)
+    if a.posed_cam_dict:
+        run_posed_pipeline(a.img_dir, a.out_dir, a.posed_cam_dict,
+                           a.colmap_bin)
+        return
     run_pipeline(a.img_dir, a.out_dir, a.colmap_bin, a.target_radius,
                  a.split, skip_sfm=a.skip_sfm)
 

@@ -210,15 +210,28 @@ def write_nerfpp_split(cam_dict: Dict, img_dir: str, out_dir: str,
 
 
 def plot_camera_frustums(cam_dict: Dict, out_path: str,
-                         frustum_depth: float = 0.25) -> None:
+                         frustum_depth: float = 0.25,
+                         bbox=None) -> None:
     """3D frustum wireframe plot of every camera -> PNG (the open3d
-    visualizer substitute)."""
+    visualizer substitute).  ``bbox`` (xyz_min, xyz_max) overlays the
+    scene bounding cube (view_data.py's bbox display)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
+    if bbox is not None:
+        lo, hi = (np.asarray(b, np.float64) for b in bbox)
+        pts = np.stack([
+            np.where([i & 1 for i in range(8)], hi[0], lo[0]),
+            np.where([(i >> 1) & 1 for i in range(8)], hi[1], lo[1]),
+            np.where([(i >> 2) & 1 for i in range(8)], hi[2], lo[2]),
+        ], -1)
+        for a in range(8):
+            for b in range(a + 1, 8):
+                if bin(a ^ b).count("1") == 1:     # cube edges only
+                    ax.plot(*zip(pts[a], pts[b]), "g-", lw=0.8)
     for v in cam_dict.values():
         K = np.asarray(v["K"], np.float64).reshape(4, 4)
         W2C = np.asarray(v["W2C"], np.float64).reshape(4, 4)

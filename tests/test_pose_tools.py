@@ -157,3 +157,83 @@ def test_frustum_plot_writes_png(tmp_path):
     out = str(tmp_path / "cams.png")
     plot_camera_frustums(cams, out)
     assert os.path.getsize(out) > 0
+
+
+def test_run_colmap_posed_pipeline(tmp_path):
+    """run_colmap_posed.py parity: sift/match -> known-pose model template
+    (cameras.txt/images.txt keyed by DATABASE image ids) ->
+    point_triangulator against it."""
+    import json
+    import sqlite3
+
+    from flnerf_tpu.cli.run_colmap import (
+        rotmat2qvec, run_posed_pipeline,
+    )
+    from flnerf_tpu.data.colmap import qvec2rotmat
+
+    # quaternion round trip first
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(3)
+    R = np.asarray(qvec2rotmat(
+        np.array([np.cos(0.4), *(np.sin(0.4) * v / np.linalg.norm(v))])))
+    q = rotmat2qvec(R)
+    np.testing.assert_allclose(np.asarray(qvec2rotmat(q)), R, atol=1e-8)
+
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "out"
+    img_dir.mkdir()
+    # known poses for two images
+    cam_dict = {}
+    for i, name in enumerate(["a.png", "b.png"]):
+        K = np.eye(4)
+        K[0, 0] = K[1, 1] = 100.0
+        K[0, 2], K[1, 2] = 32, 24
+        W2C = np.eye(4)
+        W2C[:3, :3] = np.asarray(qvec2rotmat(
+            np.array([np.cos(0.1 * i), np.sin(0.1 * i), 0, 0])))
+        W2C[2, 3] = 2.0 + i
+        cam_dict[name] = {"K": K.reshape(-1).tolist(),
+                          "W2C": W2C.reshape(-1).tolist(),
+                          "img_size": [64, 48]}
+    cd_file = tmp_path / "cam_dict.json"
+    cd_file.write_text(json.dumps(cam_dict))
+
+    stages = []
+
+    def fake_runner(cmd):
+        stages.append(cmd[1])
+        if cmd[1] == "feature_extractor":
+            # colmap creates the database with assigned image ids
+            db = sqlite3.connect(str(out_dir / "database.db"))
+            db.execute("CREATE TABLE images (image_id INTEGER PRIMARY KEY,"
+                       " name TEXT)")
+            db.execute("INSERT INTO images VALUES (7, 'b.png')")
+            db.execute("INSERT INTO images VALUES (3, 'a.png')")
+            db.commit()
+            db.close()
+
+    sfm = run_posed_pipeline(str(img_dir), str(out_dir), str(cd_file),
+                             colmap_bin="colmap", runner=fake_runner)
+    assert stages == ["feature_extractor", "exhaustive_matcher",
+                      "point_triangulator"]
+    cams = (out_dir / "sfm" / "cameras.txt").read_text().strip().splitlines()
+    imgs = [l for l in (out_dir / "sfm" / "images.txt").read_text()
+            .splitlines() if l.strip()]
+    assert len(cams) == 2 and len(imgs) == 2
+    # database ids drive the model ids; image line carries the known pose
+    first = imgs[0].split()
+    assert first[0] == "3" and first[-1] == "a.png"
+    assert cams[0].startswith("3 PINHOLE 64 48 100.0 100.0")
+    tz = float(imgs[1].split()[7])
+    assert abs(tz - 3.0) < 1e-9        # b.png (id 7) has W2C tz = 3
+    assert (out_dir / "sfm" / "points3D.txt").exists()
+    assert sfm.endswith("sfm")
+
+
+def test_view_data_inspector(tmp_path):
+    from flnerf_tpu.cli.view_data import main as view_main
+
+    out = tmp_path / "vis.png"
+    res = view_main(["synthetic", "--out", str(out)])
+    assert res["type"] == "synthetic" and res["n_cams"] == 10
+    assert out.exists() and out.stat().st_size > 5000
