@@ -56,6 +56,13 @@ class VoxelGridConfig(NamedTuple):
     # concentric spheres); 0 disables
     background_nlayers: int = 0
     background_reso: int = 512
+    # basis type (svox2.py:344,461-496): 'sh' (closed form), '3d_texture'
+    # (learned basis_reso^3 grid trilinearly sampled at the view dir),
+    # 'mlp' (learned 4-layer MLP of the (posenc'd) view dir, sigmoid)
+    basis_type: str = "sh"
+    basis_reso: int = 32            # --basis_reso
+    mlp_posenc_size: int = 4        # --mlp_posenc_size
+    mlp_width: int = 32             # --mlp_width
 
 
 class VoxelGrid(NamedTuple):
@@ -70,6 +77,70 @@ class VoxelGrid(NamedTuple):
     sh: jnp.ndarray        # [X, Y, Z, 3*basis_dim] f32
     alive: jnp.ndarray     # [X, Y, Z] bool — pruning mask (not trained)
     background: Optional[jnp.ndarray] = None
+    # learned basis (svox2.py:461-496): [R, R, R, basis_dim] grid for
+    # basis_type='3d_texture', a layer dict for 'mlp', None for SH
+    basis: Optional[Any] = None
+
+
+def init_basis(cfg: VoxelGridConfig, seed: int = 0):
+    """Learned-basis parameters (svox2.py:461-496): zeros for the 3D
+    texture (like the reference ctor), xavier-uniform Linear stack for the
+    MLP (utils.init_weights)."""
+    if cfg.basis_type == "3d_texture":
+        r = cfg.basis_reso
+        return jnp.zeros((r, r, r, cfg.basis_dim), jnp.float32)
+    if cfg.basis_type == "mlp":
+        rng = np.random.default_rng(seed)
+        dims = [3 + 6 * cfg.mlp_posenc_size, cfg.mlp_width, cfg.mlp_width,
+                cfg.mlp_width, cfg.basis_dim]
+        basis = {}
+        for i in range(4):
+            lim = np.sqrt(6.0 / (dims[i] + dims[i + 1]))
+            basis[f"w{i}"] = jnp.asarray(
+                rng.uniform(-lim, lim, (dims[i], dims[i + 1])), jnp.float32)
+            basis[f"b{i}"] = jnp.zeros((dims[i + 1],), jnp.float32)
+        return basis
+    return None
+
+
+def eval_basis(grid: VoxelGrid, viewdirs: jnp.ndarray,
+               cfg: VoxelGridConfig) -> jnp.ndarray:
+    """Per-ray basis functions sh_mult [N, basis_dim] (svox2.py:673-678):
+    SH closed form, learned 3D texture (grid_sample of the unit sphere
+    embedded in the basis cube, align_corners), or sigmoid(MLP(dir))."""
+    if cfg.basis_type == "3d_texture" and grid.basis is not None:
+        r = cfg.basis_reso
+        # align_corners grid_sample: dir in [-1,1] -> texel [0, R-1]
+        pos = jnp.clip((viewdirs + 1.0) * 0.5, 0.0, 1.0) * (r - 1)
+        l = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, r - 2)
+        f = pos - l
+        out = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = (
+                        (f[:, 0] if dx else 1 - f[:, 0])
+                        * (f[:, 1] if dy else 1 - f[:, 1])
+                        * (f[:, 2] if dz else 1 - f[:, 2])
+                    )
+                    out = out + w[:, None] * grid.basis[
+                        l[:, 0] + dx, l[:, 1] + dy, l[:, 2] + dz]
+        return out
+    if cfg.basis_type == "mlp" and grid.basis is not None:
+        h = viewdirs
+        if cfg.mlp_posenc_size > 0:
+            scales = 2.0 ** jnp.arange(cfg.mlp_posenc_size)
+            ang = viewdirs[:, None, :] * scales[None, :, None]
+            h = jnp.concatenate(
+                [viewdirs,
+                 jnp.sin(ang).reshape(viewdirs.shape[0], -1),
+                 jnp.cos(ang).reshape(viewdirs.shape[0], -1)], axis=-1)
+        for i in range(4):
+            h = h @ grid.basis[f"w{i}"] + grid.basis[f"b{i}"]
+            if i < 3:
+                h = jax.nn.relu(h)
+        return jax.nn.sigmoid(h)      # svox2.py:676
+    return sh_encode(viewdirs, degree=int(np.sqrt(cfg.basis_dim)))
 
 
 def init_voxel_grid(cfg: VoxelGridConfig) -> VoxelGrid:
@@ -85,6 +156,7 @@ def init_voxel_grid(cfg: VoxelGridConfig) -> VoxelGrid:
         sh=jnp.zeros((x, y, z, 3 * cfg.basis_dim), jnp.float32),
         alive=jnp.ones((x, y, z), bool),
         background=bg,
+        basis=init_basis(cfg),
     )
 
 
@@ -160,7 +232,7 @@ def voxel_render_rays(
     n = rays_o.shape[0]
     origins = world2grid(cfg, rays_o)
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    sh_mult = sh_encode(viewdirs, degree=int(np.sqrt(cfg.basis_dim)))  # [N, B]
+    sh_mult = eval_basis(grid, viewdirs, cfg)                          # [N, B]
 
     dirs = viewdirs * grid_scaling(cfg)
     delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
@@ -235,7 +307,7 @@ def _svox1_render(grid: VoxelGrid, rays_o, rays_d, cfg: VoxelGridConfig):
     n = rays_o.shape[0]
     origins = world2grid(cfg, rays_o) + 0.5     # nn-vs-lerp offset (cu:76)
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    sh_mult = sh_encode(viewdirs, degree=int(np.sqrt(cfg.basis_dim)))
+    sh_mult = eval_basis(grid, viewdirs, cfg)
 
     dirs = viewdirs * grid_scaling(cfg)
     delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
@@ -567,6 +639,23 @@ def save_npz(path: str, grid: VoxelGrid, cfg: VoxelGridConfig) -> None:
             two_r * r, dtype=np.int32).reshape(two_r, r)
         extra["background_data"] = np.asarray(
             grid.background).reshape(two_r * r, nlayers, 4).astype(np.float16)
+    # svox2.py:1543-1553 basis serialization: 1=SH, 4=3D texture (raw
+    # basis_data array), 255=MLP (net_to_dict keys pt__basis_mlp__{i}__*,
+    # torch Linear layout: weight [out, in])
+    basis_type = 1
+    if cfg.basis_type == "3d_texture" and grid.basis is not None:
+        basis_type = 4
+        extra["basis_data"] = np.asarray(grid.basis, np.float32)
+    elif cfg.basis_type == "mlp" and grid.basis is not None:
+        basis_type = 255
+        for i in range(4):
+            seq = 2 * i      # nn.Sequential child index (ReLU between)
+            extra[f"pt__basis_mlp__{seq}__weight"] = np.asarray(
+                grid.basis[f"w{i}"], np.float32).T
+            extra[f"pt__basis_mlp__{seq}__bias"] = np.asarray(
+                grid.basis[f"b{i}"], np.float32)
+        extra["mlp_posenc_size"] = np.int64(cfg.mlp_posenc_size)
+        extra["mlp_width"] = np.int64(cfg.mlp_width)
     np.savez(
         path,
         radius=np.asarray(cfg.radius, np.float32),
@@ -574,7 +663,7 @@ def save_npz(path: str, grid: VoxelGrid, cfg: VoxelGridConfig) -> None:
         links=links,
         density_data=density_data,
         sh_data=sh_data,
-        basis_type=1,  # BASIS_TYPE_SH
+        basis_type=basis_type,
         **extra,
     )
 
@@ -598,6 +687,25 @@ def load_npz(path: str) -> Tuple[VoxelGrid, VoxelGridConfig]:
         ok = bl >= 0
         background[ok] = bd[bl[ok]]
         bg_nlayers, bg_reso = bd.shape[1], r
+    basis = None
+    basis_type = "sh"
+    basis_reso, mlp_posenc, mlp_width = 32, 4, 32
+    bt = int(z["basis_type"]) if "basis_type" in z else 1
+    if bt == 4 and "basis_data" in z:
+        basis_type = "3d_texture"
+        basis = jnp.asarray(z["basis_data"].astype(np.float32))
+        basis_reso = basis.shape[0]
+    elif bt == 255:
+        basis_type = "mlp"
+        basis = {}
+        for i in range(4):
+            w = z[f"pt__basis_mlp__{2 * i}__weight"].astype(np.float32)
+            basis[f"w{i}"] = jnp.asarray(w.T)
+            basis[f"b{i}"] = jnp.asarray(
+                z[f"pt__basis_mlp__{2 * i}__bias"].astype(np.float32))
+        mlp_width = basis["w0"].shape[1]
+        mlp_posenc = (basis["w0"].shape[0] - 3) // 6
+
     cfg = VoxelGridConfig(
         reso=tuple(int(v) for v in links.shape),
         basis_dim=sh.shape[-1] // 3,
@@ -607,11 +715,16 @@ def load_npz(path: str) -> Tuple[VoxelGrid, VoxelGridConfig]:
         center=tuple(float(v) for v in np.atleast_1d(z["center"])[:3]),
         background_nlayers=bg_nlayers,
         background_reso=bg_reso,
+        basis_type=basis_type,
+        basis_reso=basis_reso,
+        mlp_posenc_size=mlp_posenc,
+        mlp_width=mlp_width,
     )
     return (
         VoxelGrid(
             jnp.asarray(density), jnp.asarray(sh), jnp.asarray(alive),
             jnp.asarray(background) if background is not None else None,
+            basis=basis,
         ),
         cfg,
     )

@@ -115,6 +115,95 @@ def _sort_kernel(bits_ref, dist_ref, *refs, n_arrays: int, interpret: bool):
         o[0] = a
 
 
+def _sort_kernel_v2(*refs, n: int, n_arrays: int, interpret: bool):
+    """Stage-unrolled variant (no SMEM schedule): the python loop over the
+    log N stages makes every ROW substage's distance STATIC — pltpu.roll
+    with a static shift compiles to vreg moves instead of the generic
+    dynamic-shift path — and caches the stage's direction mask across its
+    substages.  Lane substages (d < 128) stay in ONE fori_loop per stage
+    with a traced distance: their dynamic_gather index cost is unchanged,
+    and this keeps the Mosaic module ~3x smaller than a full unroll (which
+    exceeded compiler limits at useful N in round 2)."""
+    in_refs = refs[:n_arrays]
+    out_refs = refs[n_arrays:]
+    arrays = [r[0] for r in in_refs]            # [rows, LANES] each
+    rows = arrays[0].shape[0]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    log_n = n.bit_length() - 1
+
+    def exchange(arrays, keep_min, partner):
+        keys = arrays[0]
+        pk = partner(keys)
+        gt = (keys > pk).astype(jnp.int32)
+        lt = (keys < pk).astype(jnp.int32)
+        take = jnp.where(keep_min, gt, lt) > 0
+        out = [jnp.where(take, pk, keys)]
+        for v in arrays[1:]:
+            out.append(jnp.where(take, partner(v), v))
+        return out
+
+    for stage in range(1, log_n + 1):
+        sbit = 1 << stage
+        desc = ((riota * LANES + liota) & sbit) > 0  # direction, per stage
+
+        # row substages: static distances, largest first
+        for sub in range(stage - 1, 6, -1):
+            d = 1 << sub
+            dr = d // LANES
+
+            def row_partner(a, dr=dr):
+                if interpret:
+                    plus = jnp.roll(a, rows - dr, axis=0)
+                    minus = jnp.roll(a, dr, axis=0)
+                else:
+                    plus = pltpu.roll(a, rows - dr, axis=0)
+                    minus = pltpu.roll(a, dr, axis=0)
+                low = ((riota & dr) == 0).astype(jnp.int32)
+                return jnp.where(low > 0, plus, minus)
+
+            keep_min = desc == ((riota & dr) > 0)
+            arrays = exchange(arrays, keep_min, row_partner)
+
+        # lane substages: one fori_loop, d = 64 >> j
+        n_lane = min(stage, 7)
+
+        def lane_body(j, arrs, desc=desc, n_lane=n_lane):
+            d = (1 << n_lane) >> (j + 1)
+            ix = liota ^ d
+            keep_min = desc == ((liota & d) > 0)
+            return tuple(exchange(
+                list(arrs), keep_min,
+                lambda a: jnp.take_along_axis(a, ix, axis=1,
+                                              mode="promise_in_bounds")))
+
+        arrays = list(jax.lax.fori_loop(0, n_lane, lane_body,
+                                        tuple(arrays)))
+
+    for o, a in zip(out_refs, arrays):
+        o[0] = a
+
+
+@functools.lru_cache(maxsize=32)
+def _sort_call_v2(g: int, n: int, n_arrays: int, interpret: bool):
+    rows = n // LANES
+    tile = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_sort_kernel_v2, n=n, n_arrays=n_arrays,
+                          interpret=interpret),
+        grid=(g,),
+        in_specs=[tile] * n_arrays,
+        out_specs=tuple(tile for _ in range(n_arrays)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((g, rows, LANES), jnp.int32)
+            for _ in range(n_arrays)
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(lambda *arrs: call(*arrs))
+
+
 @functools.lru_cache(maxsize=32)
 def _sort_call(g: int, n: int, n_arrays: int, interpret: bool):
     rows = n // LANES
@@ -144,12 +233,16 @@ def _sort_call(g: int, n: int, n_arrays: int, interpret: bool):
     return jax.jit(lambda *arrs: call(bits, dist, *arrs))
 
 
-def bitonic_sort(keys: jnp.ndarray, *values: jnp.ndarray):
+def bitonic_sort(keys: jnp.ndarray, *values: jnp.ndarray, variant: int = 2):
     """Sort int32 keys ascending along the last axis, permuting payloads.
 
     keys: [N] or [G, N] (G independent sorts).  N must be a power of two
     and a multiple of 128; keys must be non-negative (int32 compare).
     Returns (sorted_keys, *permuted_values) with the input shapes.
+
+    variant 2 (default) is the stage-unrolled kernel (static row shifts,
+    cached direction masks — measured faster); 1 is the SMEM-schedule
+    fori_loop original.
     """
     batched = keys.ndim == 2
     g, n = keys.shape if batched else (1, keys.shape[0])
@@ -157,6 +250,7 @@ def bitonic_sort(keys: jnp.ndarray, *values: jnp.ndarray):
     interpret = jax.default_backend() != "tpu"
     arrs = [keys] + list(values)
     arrs = [a.reshape(g, n // LANES, LANES) for a in arrs]
-    outs = _sort_call(g, n, len(arrs), interpret)(*arrs)
+    mk = _sort_call_v2 if variant == 2 else _sort_call
+    outs = mk(g, n, len(arrs), interpret)(*arrs)
     shape = (g, n) if batched else (n,)
     return tuple(o.reshape(shape) for o in outs)

@@ -80,6 +80,11 @@ class PlenoxelsTrainConfig(NamedTuple):
     lambda_tv_background_sigma: float = 1e-2
     lambda_tv_background_color: float = 1e-2
     background_density_thresh: float = 1.0  # sparsify_background threshold
+    # learned-basis optimization (svox2.py:2091 optim_basis_step +
+    # argument_parser.py:113-124 --lr_basis schedule); active whenever the
+    # grid carries a learned basis (basis_type != 'sh')
+    lr_basis: float = 1e-6
+    lr_basis_final: float = 1e-6
     subdivide_every: int = 1
     subdivide_thres: float = 0.015
     prob_sampling: bool = False
@@ -104,6 +109,7 @@ class PlenoxelsState(NamedTuple):
     # dense analog of background_links >= 0 (sparsify_background pin mask)
     rms_bg: Optional[jnp.ndarray] = None
     bg_alive: Optional[jnp.ndarray] = None
+    rms_basis: Optional[Any] = None   # svox2.py:2091 basis_rms
 
 
 def _leaf_buf_size(n: int) -> int:
@@ -125,6 +131,11 @@ class PlenoxelsTrainer:
         grid = init_voxel_grid(grid_cfg)
         rep = replicated(self.mesh)
         has_bg = grid.background is not None
+        if grid_cfg.basis_type != "sh" and train_cfg.use_kernel:
+            raise ValueError(
+                "use_kernel supports basis_type='sh' only (the Pallas "
+                "table packs closed-form SH); learned bases take the XLA "
+                "train path")
         self.state = jax.device_put(
             PlenoxelsState(
                 grid,
@@ -134,6 +145,8 @@ class PlenoxelsTrainer:
                 rms_bg=jnp.zeros_like(grid.background) if has_bg else None,
                 bg_alive=(jnp.ones(grid.background.shape[:2], bool)
                           if has_bg else None),
+                rms_basis=(jax.tree_util.tree_map(jnp.zeros_like, grid.basis)
+                           if grid.basis is not None else None),
             ),
             rep,
         )
@@ -145,6 +158,7 @@ class PlenoxelsTrainer:
         cfg = self.cfg
         use_kernel = cfg.use_kernel
         has_bg = gcfg.background_nlayers > 0
+        has_basis = gcfg.basis_type != "sh"
         # multichip kernel path only when each device's ray shard packs into
         # whole RB-ray blocks (never inflate the user's batch for it)
         n_dev = int(self.mesh.devices.size)
@@ -233,15 +247,16 @@ class PlenoxelsTrainer:
             origins, dirs, rgb, leaf, mask = xs
 
             def loss_fn(train_vars):
+                density, sh = train_vars[0], train_vars[1]
+                grid = state.grid._replace(density=density, sh=sh)
+                i = 2
                 if has_bg:
-                    density, sh, bgv = train_vars
-                    bgm = jnp.where(
-                        state.bg_alive[:, :, None, None], bgv, 0.0)
-                    grid = state.grid._replace(
-                        density=density, sh=sh, background=bgm)
-                else:
-                    density, sh = train_vars
-                    grid = state.grid._replace(density=density, sh=sh)
+                    bgv = train_vars[i]
+                    i += 1
+                    grid = grid._replace(background=jnp.where(
+                        state.bg_alive[:, :, None, None], bgv, 0.0))
+                if has_basis:
+                    grid = grid._replace(basis=train_vars[i])
                 out = voxel_render_rays(grid, origins, dirs, gcfg)
                 eff_mask = mask
                 m = eff_mask[:, None]
@@ -269,7 +284,9 @@ class PlenoxelsTrainer:
             train_vars = (state.grid.density, state.grid.sh)
             if has_bg:
                 train_vars = train_vars + (state.grid.background,)
-            g_bg = None
+            if has_basis:
+                train_vars = train_vars + (state.grid.basis,)
+            g_bg = g_basis = None
             # (loss aux carries eff_mask so the epoch MSE can be weighted by
             # the number of rays that actually contributed)
             if use_kernel:
@@ -291,8 +308,12 @@ class PlenoxelsTrainer:
                 (loss, (mse, per_ray_err, eff_mask)), grads = (
                     jax.value_and_grad(loss_fn, has_aux=True)(train_vars))
                 g_density, g_sh = grads[0], grads[1]
+                gi = 2
                 if has_bg:
-                    g_bg = grads[2]
+                    g_bg = grads[gi]
+                    gi += 1
+                if has_basis:
+                    g_basis = grads[gi]
 
             step_f = state.step.astype(jnp.float32)
             lr_sigma = expon_lr(
@@ -336,11 +357,25 @@ class PlenoxelsTrainer:
                     jnp.where(eff_mask > 0, per_ray_err, 0.0)),
                 err_buf[1].at[safe_leaf].add(eff_mask),
             )
+            new_basis, rms_basis = state.grid.basis, state.rms_basis
+            if has_basis:
+                # optim_basis_step (svox2.py:2091): RMSProp over the
+                # learned basis pytree (texture grid or MLP layer dict)
+                lr_b = expon_lr(step_f, cfg.lr_basis, cfg.lr_basis_final,
+                                0, 1.0, cfg.lr_decay_steps)
+                rms_basis = jax.tree_util.tree_map(
+                    lambda r, gg: b * r + (1 - b) * gg ** 2,
+                    state.rms_basis, g_basis)
+                new_basis = jax.tree_util.tree_map(
+                    lambda p, r, gg: p - lr_b * gg / (jnp.sqrt(r) + 1e-8),
+                    state.grid.basis, rms_basis, g_basis)
+
             new_state = PlenoxelsState(
                 state.grid._replace(density=new_density, sh=new_sh,
-                                    background=new_bg),
+                                    background=new_bg, basis=new_basis),
                 rms_d, rms_s, state.step + 1,
                 rms_bg=rms_bg, bg_alive=state.bg_alive,
+                rms_basis=rms_basis,
             )
             return new_state, err_buf, (mse, jnp.sum(eff_mask))
 
@@ -549,7 +584,8 @@ class PlenoxelsTrainer:
         grid = upsample_grid(self.state.grid, new_reso)
         if prune:
             grid = prune_grid(grid, self.cfg.prune_sigma_thresh)
-        grid = grid._replace(background=self.state.grid.background)
+        grid = grid._replace(background=self.state.grid.background,
+                             basis=self.state.grid.basis)
         self.gcfg = self.gcfg._replace(reso=new_reso)
         rep = replicated(self.mesh)
         self.state = jax.device_put(
@@ -560,6 +596,7 @@ class PlenoxelsTrainer:
                 self.state.step,
                 rms_bg=self.state.rms_bg,
                 bg_alive=self.state.bg_alive,
+                rms_basis=self.state.rms_basis,
             ),
             rep,
         )
