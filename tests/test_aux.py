@@ -299,3 +299,23 @@ def test_clip_guidance_structure():
     # differentiable wrt the rendered images
     grad = jax.grad(lambda im: g(im, key=jax.random.PRNGKey(0)))(images)
     assert np.abs(np.asarray(grad)).max() > 0
+
+
+@pytest.mark.slow
+def test_two_process_dcn_dryrun():
+    """VERDICT r2 item 9: jax.distributed across two CPU processes (the
+    multi-host DCN axis) — init_distributed + a batch-sharded grad step
+    whose reduction crosses the process boundary."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    assert g.dryrun_dcn()
+    with open(os.path.join(os.path.dirname(g.__file__),
+                           "MULTICHIP_dcn.json")) as f:
+        art = json.load(f)
+    assert art["dcn_ok"] and art["processes"] == 2
