@@ -35,14 +35,20 @@ points / 16 levels on the axon v5e tile at 2^19 AND 2^17 capacity,
 vs ~11 ms for the full-matmul path at 2^15 (which scales linearly to
 ~100+ ms at 2^19).
 
-Per-call point budget: pid rides 14 bits of the payload (N <= 16384
-after 128-padding); `hash_encode_split` chunks larger point sets.
+Per-chunk point budget: pid rides 14 bits of the payload (16384 points
+after 128-padding); larger point sets split into equal chunks that
+BATCH along the sort's and kernels' grid axes — one sort pass and one
+kernel launch per direction regardless of N (the scatter matmul's cost
+is quadratic in per-chunk points, so bigger chunks would not help).
 
-Blocks whose sorted keys span more than the static slab budget R_max
-contribute zeros for out-of-slab corners (the one-hot simply misses).
-For hash-distributed keys P(span > R_max) is astronomically small
-(R_max is sized 3x the expected span + alignment slack; a Chernoff
-bound at 3x for 256 draws is ~e^-100); `spill_fraction` measures it
+Each block carries TWO slabs: a HEAD slab at the first key's row and a
+TAIL slab ending at the last real key's row.  For hash-distributed keys
+they coincide (r_max is 3x the expected span; a Chernoff bound at 3x
+for 256 draws is ~e^-100).  For DENSE (non-hashed) big levels, where
+clustered points make a block straddle an index gap (ADVICE r2), the
+head slab covers the cluster before the gap and the tail slab the one
+after — exact for up to 2 clusters per 256-key block; 3+ clusters
+spill the middle one to zeros.  `spill_fraction` measures the residual
 exactly for tests/monitoring.  Levels small enough that the full-table
 matmul is cheaper stay on the hash_pallas path — `SplitHashSpec`
 carries that static decision.
@@ -186,26 +192,29 @@ def init_split_table(key, spec: SplitHashSpec):
 # ---------------------------------------------------------------------------
 
 class _Geom(NamedTuple):
-    n_pad: int        # points padded to a multiple of 128 (<= POINT_CAP)
+    n_ch: int         # point chunks (sort/scatter cost is quadratic in the
+                      # per-chunk point count; chunks batch into one grid)
+    n_pad: int        # points per chunk, padded to a multiple of 128
     p_hi: int         # n_pad // 128 (point-id sublane rows)
-    m: int            # real corners per level (N * 8)
+    m: int            # real corners per level per chunk (n_pad * 8)
     m_pad: int        # padded sort length (power of two)
-    nblk: int         # blocks per level (m_pad / BLOCK)
-    n_g: int          # kernel grid steps per level (nblk / CB)
+    nblk: int         # blocks per level per chunk (m_pad / BLOCK)
+    n_g: int          # kernel grid steps per (chunk, level) (nblk / CB)
     r_max: int        # slab rows per block
 
 
 def _geometry(n_points: int, t_cap: int) -> _Geom:
-    assert n_points <= POINT_CAP, n_points
-    n_pad = (n_points + LANES - 1) // LANES * LANES
+    n_ch = -(-n_points // POINT_CAP)
+    per = -(-n_points // n_ch)
+    n_pad = (per + LANES - 1) // LANES * LANES
     m = n_pad * 8
     m_pad = 1 << max(m - 1, BLOCK * CB - 1).bit_length()
     nblk = m_pad // BLOCK
     t_r = t_cap // LANES
     span_rows = BLOCK * t_cap / m_pad / LANES
     r_max = min(t_r, max(16, _round8(int(3 * span_rows) + 16)))
-    return _Geom(n_pad=n_pad, p_hi=n_pad // LANES, m=m, m_pad=m_pad,
-                 nblk=nblk, n_g=nblk // CB, r_max=r_max)
+    return _Geom(n_ch=n_ch, n_pad=n_pad, p_hi=n_pad // LANES, m=m,
+                 m_pad=m_pad, nblk=nblk, n_g=nblk // CB, r_max=r_max)
 
 
 def _pack_cols(a: jnp.ndarray, n_g: int):
@@ -217,7 +226,8 @@ def _pack_cols(a: jnp.ndarray, n_g: int):
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels (grid = (L_big, n_g); table/point blocks keyed by level)
+# Pallas kernels (grid = (L_big, n_ch, n_g); table/grad blocks keyed by
+# level — DMA'd once per level; point chunks batch on the middle axis)
 # ---------------------------------------------------------------------------
 
 def _decode_cols(s, pay):
@@ -230,38 +240,71 @@ def _decode_cols(s, pay):
     return lo_t, pid >> 7, pid & (LANES - 1), w
 
 
-def _fused_fwd_kernel(base_ref, sidx_ref, spay_ref, table_ref, out_ref,
-                      *, r_max: int, nblk: int, c_dim: int):
-    """Per (level, chunk): slab-local one-hot fetch for CB blocks of 256
+def _dual_slab_onehot(s, b_lo, b_hi, row_iota2, r_max):
+    """[256, 2*r_max] one-hot over the HEAD slab (rows [b_lo, b_lo+r_max))
+    and TAIL slab (rows [b_hi, b_hi+r_max)): a corner matches the head if
+    covered, else the tail, else nothing (exact zero).  The tail slab makes
+    gap-straddling blocks (clustered points on DENSE levels — ADVICE r2)
+    exact: head covers the cluster before the gap, tail the one after."""
+    row_t = s >> 7
+    rel_lo = row_t - b_lo
+    in_lo = (rel_lo >= 0) & (rel_lo < r_max)
+    pos_row = jnp.where(in_lo, rel_lo, row_t - b_hi + r_max)
+    return (pos_row == row_iota2).astype(jnp.bfloat16)
+
+
+def _fused_fwd_kernel(base_lo_ref, base_hi_ref, sidx_ref, spay_ref,
+                      table_ref, out_ref, *, r_max: int, nblk: int,
+                      c_dim: int, lb: int, off: int, dual: bool):
+    """Per (level, chunk, g): slab-local one-hot fetch for CB blocks of 256
     sorted corners, multiplied by the payload weight and scatter-added
     into the per-point accumulator via the point one-hot matmul.
-    Out-of-slab keys (sentinel padding or span spills) match no one-hot
-    row and contribute exact zeros."""
+
+    ``dual`` (the DENSE-level variant) adds a tail slab so gap-straddling
+    blocks stay exact (ADVICE r2); hashed levels keep the cheaper single
+    slab — their keys are uniform, so head-slab spill is ~e^-100.
+    Out-of-slab keys (sentinel padding or 3+-cluster spills) match no
+    one-hot row and contribute exact zeros.  ``off``/``lb`` place this
+    call's level range inside the full big group (grid dim 0 covers only
+    this variant's levels)."""
     l = pl.program_id(0)
-    g = pl.program_id(1)
+    ch = pl.program_id(1)
+    g = pl.program_id(2)
     width = sidx_ref.shape[2]
     p_hi = out_ref.shape[2]
+    n_rows = (2 if dual else 1) * r_max
 
     @pl.when(g == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, r_max), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_rows), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
     phi_iota = jax.lax.broadcasted_iota(jnp.int32, (width, p_hi), 1)
     for j in range(CB):
-        base = base_ref[l * nblk + g * CB + j]
-        base = pl.multiple_of(base, 8)
+        bi = (ch * lb + l + off) * nblk + g * CB + j
+        b_lo = pl.multiple_of(base_lo_ref[bi], 8)
         s = sidx_ref[0, 0, :, j:j + 1]                       # [256, 1]
         pay = spay_ref[0, 0, :, j:j + 1]
         lo_t, hi_p, lo_p, w = _decode_cols(s, pay)
-        oh_t = ((s >> 7) - base == row_iota).astype(jnp.bfloat16)
+        if dual:
+            b_hi = pl.multiple_of(base_hi_ref[bi], 8)
+            oh = _dual_slab_onehot(s, b_lo, b_hi, row_iota, r_max)
+            bases = (b_lo, b_hi)
+        else:
+            oh = ((s >> 7) - b_lo == row_iota).astype(jnp.bfloat16)
+            bases = (b_lo,)
         slab = jnp.concatenate(
-            [table_ref[0, c, pl.ds(base, r_max), :] for c in range(c_dim)],
-            axis=1,
-        ).astype(jnp.bfloat16)                               # [r_max, C*128]
+            [
+                jnp.concatenate(
+                    [table_ref[0, c, pl.ds(bb, r_max), :]
+                     for c in range(c_dim)], axis=1)
+                for bb in bases
+            ],
+            axis=0,
+        ).astype(jnp.bfloat16)                               # [n_rows, C*128]
         rows = jax.lax.dot_general(
-            oh_t, slab, dimension_numbers=(((1,), (0,)), ((), ())),
+            oh, slab, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                    # [256, C*128]
         sel_t = lo_t == lane_iota
@@ -289,27 +332,30 @@ def _fused_fwd_kernel(base_ref, sidx_ref, spay_ref, table_ref, out_ref,
             out_ref[0, c] += add[:, c * LANES:(c + 1) * LANES]
 
 
-def _fused_bwd_kernel(base_ref, sidx_ref, spay_ref, g2d_ref, grad_ref,
-                      *, r_max: int, nblk: int, c_dim: int):
-    """Per (level, chunk): v = w * g[pid] fetched with the point one-hot
+def _fused_bwd_kernel(base_lo_ref, base_hi_ref, sidx_ref, spay_ref,
+                      g2d_ref, grad_ref, *, r_max: int, nblk: int,
+                      c_dim: int, lb: int, off: int, dual: bool):
+    """Per (level, chunk, g): v = w * g[pid] fetched with the point one-hot
     (no sort needed — pid/w ride the saved payload), then
-    grad_table[slab] += onehot_t^T @ (onehot_lane * v) accumulated
-    straight into the output block (resident across the chunk axis)."""
+    grad_table[slab(s)] += onehot^T @ (onehot_lane * v) accumulated
+    straight into the output block (resident across chunk x g)."""
     l = pl.program_id(0)
-    g = pl.program_id(1)
+    ch = pl.program_id(1)
+    g = pl.program_id(2)
     width = sidx_ref.shape[2]
     p_hi = g2d_ref.shape[1]
+    n_rows = (2 if dual else 1) * r_max
 
-    @pl.when(g == 0)
+    @pl.when((ch == 0) & (g == 0))
     def _():
         grad_ref[...] = jnp.zeros_like(grad_ref)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, r_max), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_rows), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
     phi_iota = jax.lax.broadcasted_iota(jnp.int32, (width, p_hi), 1)
     for j in range(CB):
-        base = base_ref[l * nblk + g * CB + j]
-        base = pl.multiple_of(base, 8)
+        bi = (ch * lb + l + off) * nblk + g * CB + j
+        b_lo = pl.multiple_of(base_lo_ref[bi], 8)
         s = sidx_ref[0, 0, :, j:j + 1]
         pay = spay_ref[0, 0, :, j:j + 1]
         lo_t, hi_p, lo_p, w = _decode_cols(s, pay)
@@ -335,15 +381,23 @@ def _fused_bwd_kernel(base_ref, sidx_ref, spay_ref, g2d_ref, grad_ref,
             ],
             axis=1,
         )                                                    # [256, C*128]
-        oh_t = ((s >> 7) - base == row_iota).astype(jnp.bfloat16)
+        if dual:
+            b_hi = pl.multiple_of(base_hi_ref[bi], 8)
+            oh = _dual_slab_onehot(s, b_lo, b_hi, row_iota, r_max)
+        else:
+            oh = ((s >> 7) - b_lo == row_iota).astype(jnp.bfloat16)
         g_loc = jax.lax.dot_general(
-            oh_t, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            oh, b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                    # [r_max, C*128]
+        )                                                    # [n_rows, C*128]
         for c in range(c_dim):
-            cur = grad_ref[0, c, pl.ds(base, r_max), :]
-            grad_ref[0, c, pl.ds(base, r_max), :] = (
-                cur + g_loc[:, c * LANES:(c + 1) * LANES])
+            cur = grad_ref[0, c, pl.ds(b_lo, r_max), :]
+            grad_ref[0, c, pl.ds(b_lo, r_max), :] = (
+                cur + g_loc[:r_max, c * LANES:(c + 1) * LANES])
+            if dual:
+                cur2 = grad_ref[0, c, pl.ds(b_hi, r_max), :]
+                grad_ref[0, c, pl.ds(b_hi, r_max), :] = (
+                    cur2 + g_loc[r_max:, c * LANES:(c + 1) * LANES])
 
 
 # ---------------------------------------------------------------------------
@@ -351,30 +405,39 @@ def _fused_bwd_kernel(base_ref, sidx_ref, spay_ref, g2d_ref, grad_ref,
 # ---------------------------------------------------------------------------
 
 def _base_rows(sidx, spec: SplitHashSpec, geo: _Geom):
-    """Per-block slab base row from sorted keys [Lb, M_pad]: first (= min)
-    key of the block, floored to the 8-row alignment dynamic slices
-    require, clamped into the table."""
-    first = sidx.reshape(spec.n_big, geo.nblk, BLOCK)[..., 0]
-    # upper clamp must itself be 8-aligned: t_r_big is t_cap_big/128 and is
-    # NOT always a multiple of 8 (e.g. a dense top level of 29792 entries
-    # -> t_r 233); an unaligned clamp would break the pl.multiple_of(base,
-    # 8) promise in the kernels (ADVICE r2: silent wrong-DMA hazard).
+    """Per-block HEAD and TAIL slab base rows from sorted keys
+    [n_ch*Lb, M_pad]: head = first (= min) key's row, tail = the last REAL
+    key's row shifted so the slab ends just past it — both floored to the
+    8-row alignment dynamic slices require and clamped into the table
+    (t_r_big is always a multiple of 8, so the clamp bound is aligned)."""
+    blk = sidx.reshape(-1, geo.nblk, BLOCK)
+    first = blk[..., 0]
+    last = jnp.max(jnp.where(blk < SENTINEL, blk, 0), axis=-1)
     hi = max(spec.t_r_big - geo.r_max, 0) & ~7
-    base = jnp.clip((first >> 7) & ~jnp.int32(7), 0, hi)
-    return base.reshape(-1)
+    b_lo = jnp.clip((first >> 7) & ~jnp.int32(7), 0, hi)
+    b_hi = jnp.clip(((last >> 7) & ~jnp.int32(7)) - geo.r_max + 8, 0, hi)
+    return b_lo.reshape(-1), b_hi.reshape(-1)
 
 
 def _sorted_prep(x01, spec: SplitHashSpec):
-    """Corner keys + (pos | w15) payload for the big group, locality-sorted."""
+    """Corner keys + (pos | w15) payload for the big group, locality-sorted.
+    Point sets beyond POINT_CAP split into equal chunks that batch on the
+    sort's grid axis (ONE sort + ONE kernel launch per direction however
+    many chunks — the round-2 Python chunk loop cost ~3 XLA glue passes
+    per extra chunk)."""
     geo = _geometry(x01.shape[0], spec.t_cap_big)
     lb = spec.n_big
-    if geo.n_pad != x01.shape[0]:
-        x01 = jnp.pad(x01, ((0, geo.n_pad - x01.shape[0]), (0, 0)))
-    hi, lo, w = corner_indices_weights(
-        x01, PackedHashSpec(base=spec.big, t_cap=spec.t_cap_big,
-                            t_r=spec.t_r_big))
-    idx = hi * LANES + lo                                    # [Lb, M]
-    wq = jnp.clip(jnp.round(w * W_SCALE), 0, W_SCALE).astype(jnp.int32)
+    total = geo.n_ch * geo.n_pad
+    if total != x01.shape[0]:
+        x01 = jnp.pad(x01, ((0, total - x01.shape[0]), (0, 0)))
+    packed = PackedHashSpec(base=spec.big, t_cap=spec.t_cap_big,
+                            t_r=spec.t_r_big)
+    hi, lo, w = jax.vmap(
+        lambda x: corner_indices_weights(x, packed)
+    )(x01.reshape(geo.n_ch, geo.n_pad, 3))                   # [n_ch, Lb, M]
+    idx = (hi * LANES + lo).reshape(geo.n_ch * lb, geo.m)
+    wq = jnp.clip(jnp.round(w * W_SCALE), 0, W_SCALE).astype(
+        jnp.int32).reshape(geo.n_ch * lb, geo.m)
     pay = jax.lax.shift_left(
         jnp.broadcast_to(jnp.arange(geo.m, dtype=jnp.int32)[None],
                          idx.shape), W_BITS) | wq
@@ -383,7 +446,19 @@ def _sorted_prep(x01, spec: SplitHashSpec):
                       constant_values=SENTINEL)
         pay = jnp.pad(pay, ((0, 0), (0, geo.m_pad - geo.m)))
     sidx, spay = bitonic_sort(idx, pay)
-    return geo, sidx, spay, _base_rows(sidx, spec, geo)
+    b_lo, b_hi = _base_rows(sidx, spec, geo)
+    return geo, sidx, spay, b_lo, b_hi
+
+
+def _level_ranges(spec: SplitHashSpec):
+    """(off, count, dual) per big-group level range: DENSE levels (a
+    prefix — sizes are nondecreasing and hashing turns on once res^3
+    exceeds the table) take the dual-slab kernels, hashed levels the
+    cheaper single-slab ones."""
+    uh = spec.big.use_hash.astype(bool)
+    assert not np.any(np.diff(uh.astype(np.int8)) < 0), uh
+    n_dense = int(np.sum(~uh))
+    return [(0, n_dense, True), (n_dense, spec.n_big - n_dense, False)]
 
 
 def _sorted_fwd_impl(x01, table_big, spec: SplitHashSpec):
@@ -392,33 +467,45 @@ def _sorted_fwd_impl(x01, table_big, spec: SplitHashSpec):
     interpret = jax.default_backend() != "tpu"
     n = x01.shape[0]
 
-    geo, sidx, spay, base = _sorted_prep(x01, spec)
-    sidx_pk = _pack_cols(sidx, geo.n_g)
+    geo, sidx, spay, b_lo, b_hi = _sorted_prep(x01, spec)
+    sidx_pk = _pack_cols(sidx, geo.n_g)           # [n_ch*Lb, n_g, 256, CB]
     spay_pk = _pack_cols(spay, geo.n_g)
 
-    tile = pl.BlockSpec((1, 1, BLOCK, CB), lambda l, g: (l, g, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out_pts = pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, r_max=geo.r_max, nblk=geo.nblk,
-                          c_dim=C),
-        grid=(lb, geo.n_g),
-        in_specs=[
-            pl.BlockSpec((lb * geo.nblk,), lambda l, g: (0,),
-                         memory_space=pltpu.SMEM),
-            tile, tile,
-            pl.BlockSpec((1, C, spec.t_r_big, LANES),
-                         lambda l, g: (l, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, C, geo.p_hi, LANES),
-                               lambda l, g: (l, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lb, C, geo.p_hi, LANES), jnp.float32),
-        interpret=interpret,
-    )(base, sidx_pk, spay_pk, table_big)
+    smem = pl.BlockSpec((geo.n_ch * lb * geo.nblk,),
+                        lambda l, ch, g: (0,), memory_space=pltpu.SMEM)
+    parts = []
+    for off, lbp, dual in _level_ranges(spec):
+        if lbp == 0:
+            continue
+        tile = pl.BlockSpec(
+            (1, 1, BLOCK, CB),
+            lambda l, ch, g, off=off: (ch * lb + l + off, g, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_p = pl.pallas_call(
+            functools.partial(_fused_fwd_kernel, r_max=geo.r_max,
+                              nblk=geo.nblk, c_dim=C, lb=lb, off=off,
+                              dual=dual),
+            grid=(lbp, geo.n_ch, geo.n_g),
+            in_specs=[
+                smem, smem, tile, tile,
+                pl.BlockSpec((1, C, spec.t_r_big, LANES),
+                             lambda l, ch, g, off=off: (l + off, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C, geo.p_hi, LANES),
+                lambda l, ch, g, lbp=lbp: (ch * lbp + l, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (geo.n_ch * lbp, C, geo.p_hi, LANES), jnp.float32),
+            interpret=interpret,
+        )(b_lo, b_hi, sidx_pk, spay_pk, table_big)
+        parts.append(out_p.reshape(geo.n_ch, lbp, C, geo.n_pad))
 
-    out = jnp.transpose(out_pts.reshape(lb, C, geo.n_pad), (2, 0, 1))
-    out = out[:n].reshape(n, lb * C)
-    return out, (sidx_pk, spay_pk, base, n)
+    out_pts = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
+    out = jnp.transpose(out_pts, (0, 3, 1, 2))
+    out = out.reshape(geo.n_ch * geo.n_pad, lb * C)[:n]
+    return out, (sidx_pk, spay_pk, b_lo, b_hi, n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -433,38 +520,53 @@ def _sorted_fwd(x01, table_big, spec):
 
 
 def _sorted_bwd(spec: SplitHashSpec, res, g):
-    sidx_pk, spay_pk, base, n = res
+    sidx_pk, spay_pk, b_lo, b_hi, n = res
     lb, C = spec.n_big, spec.level_dim
     geo = _geometry(n, spec.t_cap_big)
     interpret = jax.default_backend() != "tpu"
 
-    g_ln = jnp.transpose(g.reshape(n, lb, C), (1, 2, 0))     # [Lb, C, N]
-    if geo.n_pad != n:
-        g_ln = jnp.pad(g_ln, ((0, 0), (0, 0), (0, geo.n_pad - n)))
-    # [Lb, p_hi, C*128]: column c*128 + pid_lo, row pid_hi
+    total = geo.n_ch * geo.n_pad
+    if total != n:
+        g = jnp.pad(g, ((0, total - n), (0, 0)))
+    # [n_ch*Lb, p_hi, C*128]: column c*128 + pid_lo, row pid_hi
+    g_ln = jnp.transpose(
+        g.reshape(geo.n_ch, geo.n_pad, lb, C), (0, 2, 3, 1)
+    ).reshape(geo.n_ch * lb, C, geo.n_pad)
     g2d = jnp.concatenate(
-        [g_ln[:, c].reshape(lb, geo.p_hi, LANES) for c in range(C)], axis=-1)
+        [g_ln[:, c].reshape(-1, geo.p_hi, LANES) for c in range(C)],
+        axis=-1)
 
-    tile = pl.BlockSpec((1, 1, BLOCK, CB), lambda l, g: (l, g, 0, 0),
-                        memory_space=pltpu.VMEM)
-    grad = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, r_max=geo.r_max, nblk=geo.nblk,
-                          c_dim=C),
-        grid=(lb, geo.n_g),
-        in_specs=[
-            pl.BlockSpec((lb * geo.nblk,), lambda l, g: (0,),
-                         memory_space=pltpu.SMEM),
-            tile, tile,
-            pl.BlockSpec((1, geo.p_hi, C * LANES),
-                         lambda l, g: (l, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, C, spec.t_r_big, LANES),
-                               lambda l, g: (l, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lb, C, spec.t_r_big, LANES),
-                                       jnp.float32),
-        interpret=interpret,
-    )(base, sidx_pk, spay_pk, g2d)
+    smem = pl.BlockSpec((geo.n_ch * lb * geo.nblk,),
+                        lambda l, ch, g: (0,), memory_space=pltpu.SMEM)
+    parts = []
+    for off, lbp, dual in _level_ranges(spec):
+        if lbp == 0:
+            continue
+        tile = pl.BlockSpec(
+            (1, 1, BLOCK, CB),
+            lambda l, ch, g, off=off: (ch * lb + l + off, g, 0, 0),
+            memory_space=pltpu.VMEM)
+        grad_p = pl.pallas_call(
+            functools.partial(_fused_bwd_kernel, r_max=geo.r_max,
+                              nblk=geo.nblk, c_dim=C, lb=lb, off=off,
+                              dual=dual),
+            grid=(lbp, geo.n_ch, geo.n_g),
+            in_specs=[
+                smem, smem, tile, tile,
+                pl.BlockSpec((1, geo.p_hi, C * LANES),
+                             lambda l, ch, g, off=off:
+                             (ch * lb + l + off, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, C, spec.t_r_big, LANES),
+                                   lambda l, ch, g: (l, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((lbp, C, spec.t_r_big, LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )(b_lo, b_hi, sidx_pk, spay_pk, g2d)
+        parts.append(grad_p)
+    grad = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
     return None, grad
 
 
@@ -472,15 +574,19 @@ hash_encode_sorted.defvjp(_sorted_fwd, _sorted_bwd)
 
 
 def spill_fraction(x01, spec: SplitHashSpec) -> jnp.ndarray:
-    """Exact fraction of real big-group corners falling outside their
-    block's slab (those contribute zeros).  ~0 for hash-distributed keys;
-    tests pin it."""
-    geo, sidx, _, base = _sorted_prep(x01, spec)
-    rows = sidx >> 7                                         # [Lb, M_pad]
-    b = base.reshape(spec.n_big, geo.nblk)[..., None]        # [Lb, nblk, 1]
-    rows_b = rows.reshape(spec.n_big, geo.nblk, BLOCK)
-    real = sidx.reshape(spec.n_big, geo.nblk, BLOCK) < SENTINEL
-    spilled = real & ((rows_b < b) | (rows_b >= b + geo.r_max))
+    """Exact fraction of real big-group corners falling outside BOTH their
+    block's head and tail slabs (those contribute zeros).  ~0 for
+    hash-distributed keys; zero for up-to-2-cluster blocks on dense
+    levels (the tail slab covers the post-gap cluster); tests pin it and
+    trainers may log it."""
+    geo, sidx, _, b_lo, b_hi = _sorted_prep(x01, spec)
+    rows_b = (sidx >> 7).reshape(-1, geo.nblk, BLOCK)
+    bl = b_lo.reshape(-1, geo.nblk)[..., None]
+    bh = b_hi.reshape(-1, geo.nblk)[..., None]
+    real = sidx.reshape(-1, geo.nblk, BLOCK) < SENTINEL
+    in_lo = (rows_b >= bl) & (rows_b < bl + geo.r_max)
+    in_hi = (rows_b >= bh) & (rows_b < bh + geo.r_max)
+    spilled = real & ~(in_lo | in_hi)
     return jnp.sum(spilled) / jnp.maximum(jnp.sum(real), 1)
 
 
@@ -509,18 +615,9 @@ def hash_encode_split(x01, tables, spec: SplitHashSpec, chunk: int = 4096,
             hash_encode_xla(x01, table_small, spec.small))
     if spec.big is not None:
         if use_kernels:
-            n = x01.shape[0]
-            if n <= POINT_CAP:
-                big = hash_encode_sorted(x01, table_big, spec)
-            else:
-                n_ch = -(-n // POINT_CAP)
-                per = -(-n // n_ch)
-                per = (per + LANES - 1) // LANES * LANES
-                pieces = [
-                    hash_encode_sorted(x01[i:i + per], table_big, spec)
-                    for i in range(0, n, per)
-                ]
-                big = jnp.concatenate(pieces, axis=0)
+            # any N: the engine batches POINT_CAP-sized chunks on its own
+            # grid axis (one sort + one kernel launch per direction)
+            big = hash_encode_sorted(x01, table_big, spec)
         else:
             big = hash_encode_xla(x01, table_big, _big_packed_spec(spec))
         parts.append(big)

@@ -31,6 +31,7 @@ from flnerf_tpu.rays.sharpness import sharp_image
 from flnerf_tpu.render.ngp import (
     NGPRenderConfig,
     OccupancyState,
+    pack_occupancy,
     init_occupancy,
     ngp_render_image,
     ngp_render_rays,
@@ -548,7 +549,12 @@ class NGPTrainer:
             NGPTrainState(params, self.state.opt_state, jnp.int32(d["step"]), ema), rep
         )
         self.occ = jax.device_put(
-            OccupancyState(jnp.asarray(d["occ_density"]), jnp.float32(d["occ_mean"])),
+            OccupancyState(
+                jnp.asarray(d["occ_density"]), jnp.float32(d["occ_mean"]),
+                bits=pack_occupancy(
+                    jnp.asarray(d["occ_density"]),
+                    jnp.float32(d["occ_mean"]), self.rcfg)
+                if d["occ_density"].size % 32 == 0 else None),
             rep,
         )
         return path

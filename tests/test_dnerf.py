@@ -7,7 +7,7 @@ import pytest
 
 from flnerf_tpu.models.dnerf import DNeRFConfig, deform, init_dnerf, make_dnerf_field
 from flnerf_tpu.models.hash_ngp import NGPConfig
-from flnerf_tpu.render.ngp import NGPRenderConfig, init_occupancy, ngp_render_rays, update_occupancy
+from flnerf_tpu.render.ngp import NGPRenderConfig, init_occupancy, ngp_render_rays, update_occupancy, with_density
 
 
 def _cfg():
@@ -59,7 +59,7 @@ def test_dnerf_render_with_times():
     params = init_fn(jax.random.PRNGKey(0))
     rcfg = NGPRenderConfig(n_candidates=32, n_keep=16, grid_size=8, bound=1.0)
     occ = init_occupancy(rcfg)
-    occ = occ._replace(density=jnp.ones((8, 8, 8)))  # everything occupied
+    occ = with_density(occ, jnp.ones((8, 8, 8)), rcfg)  # everything occupied
     n = 8
     rays_o = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (n, 1))
     rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
@@ -106,7 +106,7 @@ def test_dnerf_variant_fields_train(variant):
     train on a time-varying synthetic scene through the shared protocol."""
     from flnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_variant_field
     from flnerf_tpu.models.hash_ngp import NGPConfig
-    from flnerf_tpu.render.ngp import NGPRenderConfig, ngp_render_rays, init_occupancy
+    from flnerf_tpu.render.ngp import NGPRenderConfig, ngp_render_rays, init_occupancy, with_density
 
     cfg = DNeRFConfig(
         ngp=NGPConfig(bound=1.5, num_levels=4, log2_hashmap_size=11,
@@ -118,7 +118,7 @@ def test_dnerf_variant_fields_train(variant):
     params = init_fn(jax.random.PRNGKey(0))
     rcfg = NGPRenderConfig(n_candidates=32, n_keep=16, grid_size=16, bound=1.5)
     occ = init_occupancy(rcfg)
-    occ = occ._replace(density=jnp.ones_like(occ.density))  # all occupied
+    occ = with_density(occ, jnp.ones_like(occ.density), rcfg)  # all occupied
 
     rng = np.random.default_rng(0)
     o = jnp.asarray(np.tile([[0, 0, -2.0]], (64, 1)), jnp.float32)

@@ -149,3 +149,29 @@ def test_split_encode_chunks_large_point_sets(monkeypatch):
     monkeypatch.setattr(hs, "POINT_CAP", 256)
     got = np.asarray(hs.hash_encode_split(jnp.asarray(x), (None, tb), spec))
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)
+
+
+def test_dense_level_gap_clusters_exact():
+    """ADVICE r2 repro: two separated z-slabs of points on a DENSE
+    (non-hashed) big level make sorted blocks straddle the index gap
+    between the slabs (dense index is z-major).  The tail slab must cover
+    the post-gap cluster: zero spill and oracle-exact features."""
+    spec = make_split_spec(
+        num_levels=2, level_dim=2, base_resolution=8,
+        log2_hashmap_size=17, desired_resolution=33, split_min_size=1 << 10,
+    )
+    assert spec.big is not None and not bool(spec.big.use_hash[-1]), (
+        "fixture must exercise a dense big level")
+    rng = np.random.default_rng(7)
+    flat = _flat_table(spec, rng)
+    _, tb = split_from_flat(jnp.asarray(flat), spec)
+    n = 512
+    x = rng.random((n, 3)).astype(np.float32)
+    x[: n // 2, 2] = 0.05 + 0.02 * x[: n // 2, 2]   # z-slab A
+    x[n // 2:, 2] = 0.90 + 0.02 * x[n // 2:, 2]     # z-slab B
+    xj = jnp.asarray(x)
+    assert float(spill_fraction(xj, spec)) == 0.0
+    got = np.asarray(hash_encode_sorted(xj, tb, spec))
+    lo = spec.n_small * spec.level_dim
+    want = np.asarray(hash_encode(xj, jnp.asarray(flat), spec.base))[:, lo:]
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)

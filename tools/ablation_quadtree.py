@@ -1,0 +1,204 @@
+"""Quadtree-vs-allpixel wall-clock-to-PSNR ablation — the paper's thesis
+(reference README.md:12-13; subdivision machinery nerf-ours/tree.py:629-652)
+measured ON TPU for the NeRF and plenoxels backends.
+
+Two runs per backend with identical seeds and scenes:
+  * quadtree: the paper's ray budgeter (init_level trees, per-epoch
+    loss-driven subdivision, few rays in learned regions);
+  * allpixel: every pixel once per epoch (the baselines' training mode —
+    gen_rays(last_epoch=True) each epoch).
+
+The clock counts TRAINING time only (ray generation + optimizer steps);
+held-out-view PSNR evaluation is off the clock, like the reference's
+time_mins.txt accounting (opt.py:529).  Jit caches are warmed on a
+throwaway epoch before either timed run so neither pays compile.
+
+Writes BENCH_ablation_quadtree.json:
+  {backend: {quadtree: curve, allpixel: curve},
+   speedups: {backend: {psnr_T: allpixel_s / quadtree_s}}}
+
+Run: python tools/ablation_quadtree.py [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _scene(H=64, n_train=8, n_test=2):
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=n_train, n_test=n_test, H=H, W=H)
+    Hh, W, focal = hwf
+    K = intrinsics_matrix(Hh, W, focal)
+    tr, te = i_split[0], i_split[2]
+    o = np.stack([get_rays_np(Hh, W, K, p[:3, :4])[0] for p in poses[tr]], 0)
+    d = np.stack([get_rays_np(Hh, W, K, p[:3, :4])[1] for p in poses[tr]], 0)
+    return images, poses, (Hh, W, focal), K, tr, te, o, d
+
+
+def _curve_entry(rec, epoch, psnr, wall, rays):
+    rec.record(psnr=float(psnr), epoch=epoch, wall_s=round(wall, 3),
+               rays=int(rays))
+
+
+def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=64,
+                  reso=96, max_epochs=40):
+    """-> BenchRecorder with (wall_s, psnr) per epoch; PSNR on test views."""
+    import jax
+
+    from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.models.voxel_sh import VoxelGridConfig, init_voxel_grid
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+    from flnerf_tpu.train.plenoxels_trainer import (
+        PlenoxelsState, PlenoxelsTrainConfig, PlenoxelsTrainer,
+    )
+
+    images, poses, hwf, K, tr, te, o, d = _scene(H=H)
+    Hh, W, _ = hwf
+
+    gcfg = VoxelGridConfig(
+        reso=(reso,) * 3, radius=(1.2,) * 3, max_steps=256, step_size=0.7,
+        init_sigma=0.1)
+    tcfg = PlenoxelsTrainConfig(
+        n_epoch=max_epochs, batch_size=4096, steps_per_chunk=8,
+        lr_sigma=1e1, lr_sh=1e-2, lr_sigma_delay_steps=0,
+        subdivide_every=1, subdivide_thres=0.05, use_kernel=True, seed=seed)
+    trainer = PlenoxelsTrainer(gcfg, tcfg)
+    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
+
+    # warm every jit cache (both epoch shapes + eval), then reset state
+    warm = budgeter.gen_rays(down_scale=1, last_epoch=(mode == "allpixel"))
+    trainer.run_epoch_rays(warm)
+    trainer.eval_images(poses[te][:1], images[te][:1], Hh, W, K, chunk=4096)
+    g0 = init_voxel_grid(gcfg)
+    import jax.numpy as jnp
+    trainer.state = jax.device_put(PlenoxelsState(
+        g0, jnp.zeros_like(g0.density), jnp.zeros_like(g0.sh),
+        jnp.int32(0)))
+    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
+
+    rec = BenchRecorder(meta={"backend": "plenoxels", "mode": mode,
+                              "scene": f"synthetic{H}", "seed": seed,
+                              "reso": reso})
+    train_s = 0.0
+    for epoch in range(1, max_epochs + 1):
+        t0 = time.time()
+        if mode == "quadtree":
+            ep = budgeter.gen_rays(down_scale=1)
+            stat, _ = trainer.run_epoch_rays(ep)
+            budgeter.adjust(stat, tcfg.subdivide_thres)
+        else:
+            ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
+            trainer.run_epoch_rays(ep)
+        train_s += time.time() - t0
+        psnr, _ = trainer.eval_images(poses[te][:1], images[te][:1], Hh, W,
+                                      K, chunk=4096)
+        _curve_entry(rec, epoch, psnr, train_s, ep.origins.shape[0])
+        if train_s > budget_s:
+            break
+    return rec
+
+
+def run_nerf(mode: str, budget_s: float, seed: int = 0, H=64,
+             max_epochs=30):
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.models.nerf_mlp import make_nerf_field
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+    from flnerf_tpu.render.renderer import RenderConfig
+    from flnerf_tpu.train.trainer import NerfTrainer, TrainConfig
+
+    images, poses, hwf, K, tr, te, o, d = _scene(H=H)
+    Hh, W, _ = hwf
+
+    init_fn, query_fn = make_nerf_field(
+        multires=10, multires_views=4, netdepth=8, netwidth=256,
+        compute_dtype=jnp.bfloat16)
+    rc = RenderConfig(n_samples=64, n_importance=128, near=2.0, far=6.0,
+                      white_bkgd=True)
+    tc = TrainConfig(n_rand=1920, steps_per_chunk=16, precrop_iters=0,
+                     seed=seed)
+
+    def fresh():
+        return NerfTrainer(query_fn, init_fn, rc, tc)
+
+    trainer = fresh()
+    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
+    warm = budgeter.gen_rays(down_scale=1, last_epoch=(mode == "allpixel"))
+    trainer.run_epoch_rays(warm, jax.random.PRNGKey(0))
+    trainer.eval_images(poses[te][:1], images[te][:1], Hh, W, K, chunk=8192)
+    trainer = fresh()
+    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
+
+    rec = BenchRecorder(meta={"backend": "nerf", "mode": mode,
+                              "scene": f"synthetic{H}", "seed": seed})
+    train_s = 0.0
+    key = jax.random.PRNGKey(seed + 1)
+    for epoch in range(1, max_epochs + 1):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        if mode == "quadtree":
+            ep = budgeter.gen_rays(down_scale=1)
+            stat, _ = trainer.run_epoch_rays(ep, sub)
+            budgeter.adjust(stat, 0.02)
+        else:
+            ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
+            trainer.run_epoch_rays(ep, sub)
+        train_s += time.time() - t0
+        psnr, _ = trainer.eval_images(poses[te][:1], images[te][:1], Hh, W,
+                                      K, chunk=8192)
+        _curve_entry(rec, epoch, psnr, train_s, ep.origins.shape[0])
+        if train_s > budget_s:
+            break
+    return rec
+
+
+def speedups(rec_q, rec_a, thresholds):
+    out = {}
+    for t in thresholds:
+        tq = rec_q.time_to_psnr(t)
+        ta = rec_a.time_to_psnr(t)
+        if tq is not None and ta is not None:
+            out[f"psnr_{t:g}"] = round(ta / tq, 3)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="plenoxels only, small budget")
+    p.add_argument("--out", default="BENCH_ablation_quadtree.json")
+    a = p.parse_args(argv)
+
+    art = {"curves": {}, "speedups": {}, "thresholds": [20, 22, 24, 26]}
+    backends = {"plenoxels": (run_plenoxels, 40.0 if a.quick else 90.0)}
+    if not a.quick:
+        backends["nerf"] = (run_nerf, 240.0)
+    for name, (fn, budget) in backends.items():
+        print(f"=== {name}: quadtree run", flush=True)
+        rq = fn("quadtree", budget)
+        print(f"=== {name}: allpixel run", flush=True)
+        ra = fn("allpixel", budget)
+        art["curves"][name] = {"quadtree": rq.samples, "allpixel": ra.samples,
+                               "meta": [rq.meta, ra.meta]}
+        art["speedups"][name] = speedups(rq, ra, art["thresholds"])
+        print(name, "speedups:", art["speedups"][name], flush=True)
+    with open(a.out, "w") as f:
+        json.dump(art, f, indent=1)
+    print("wrote", a.out)
+    return art
+
+
+if __name__ == "__main__":
+    main()

@@ -154,8 +154,10 @@ def p_step(log2=15, n_rays=4096):
                            bound=1.5)
     params = init_fn(jax.random.PRNGKey(0))
     occ = init_occupancy(rcfg)
-    occ = occ._replace(
-        density=jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape))
+    from flnerf_tpu.render.ngp import with_density
+    occ = with_density(
+        occ, jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape),
+        rcfg)
     rng = np.random.default_rng(0)
     o = jnp.asarray(np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32)
     d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.2
@@ -186,8 +188,10 @@ def p_march(n_rays=4096):
     rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
                            bound=1.5)
     occ = init_occupancy(rcfg)
-    occ = occ._replace(
-        density=jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape))
+    from flnerf_tpu.render.ngp import with_density
+    occ = with_density(
+        occ, jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape),
+        rcfg)
     rng = np.random.default_rng(0)
     o = jnp.asarray(np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32)
     d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.2
