@@ -107,15 +107,27 @@ class QuadTreeForest:
         counts = np.bincount(self.img, minlength=self.n_images)
         return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
-    def subdivide(self, leaf_stat: np.ndarray, thres: float) -> int:
+    def subdivide(self, leaf_stat: np.ndarray, thres: float,
+                  min_area_floor: float = 0.0) -> int:
         """Split deepest-level leaves whose loss statistic exceeds ``thres``.
 
         Mirrors adjust_tree_subThread (tree.py:629-652): only leaves with
         area exactly == the image's current minArea split; minArea is then
         divided by 4 once per image that had at least one split.  Returns the
         number of leaves split.
+
+        ``min_area_floor`` stops subdivision once children would fall below
+        that leaf area.  The reference has no explicit floor — it relies on
+        its subdivide_every=3 / n_epoch=18 schedule (configs/lego.txt:24-26)
+        never reaching pixel scale at 800x800.  At small scenes the drift is
+        fatal: once minArea/4^k drops under ~10 px the area*rate allocation
+        for the deepest (hardest) leaves falls BELOW the easy leaves' flat
+        10-ray floor (tree.py:579-581) and hard regions starve, so callers
+        at toy scale pass an explicit floor.
         """
         assert leaf_stat.shape[0] == self.n_leaves
+        if float(np.min(self.min_area)) / 4.0 < min_area_floor:
+            return 0
         areas = self.areas()
         at_min = np.isclose(areas, self.min_area[self.img], rtol=1e-9, atol=1e-9)
         split = (leaf_stat > thres) & at_min
@@ -368,9 +380,11 @@ class RayBudgeter:
             img_of_ray.astype(np.int32),
         )
 
-    def adjust(self, leaf_stat: np.ndarray, thres: float) -> int:
+    def adjust(self, leaf_stat: np.ndarray, thres: float,
+               min_area_floor: float = 0.0) -> int:
         """Subdivide based on the on-device per-leaf loss statistic."""
-        return self.forest.subdivide(np.asarray(leaf_stat), thres)
+        return self.forest.subdivide(np.asarray(leaf_stat), thres,
+                                     min_area_floor=min_area_floor)
 
     def compute_leaf_stat(
         self, epoch: RayEpoch, per_ray_err: np.ndarray, stat: str = "max"

@@ -160,7 +160,10 @@ class NerfPPTrainer:
                 err_buf[1].at[safe_leaf].add(mask),
             )
             new_state = NerfPPState(tuple(params), tuple(opts), state.global_iter + 1)
-            return new_state, err_buf, jnp.stack(losses)
+            # carry the real-ray count so the epoch metric can skip
+            # padding-only steps (their losses are 0 and would understate
+            # the reported mse)
+            return new_state, err_buf, (jnp.stack(losses), jnp.sum(mask))
 
         def chunk_fn(state, err_buf, origins, dirs, rgb, leaf, mask, base_key):
             keys = jax.random.split(base_key, origins.shape[0])
@@ -229,15 +232,19 @@ class NerfPPTrainer:
             ]
             args = [jax.device_put(a, data_sh) for a in args]
             self.state, err_buf, losses = chunk_fn(self.state, err_buf, *args, keys[ci])
-            all_losses.append(np.asarray(losses))
+            all_losses.append((np.asarray(losses[0]), np.asarray(losses[1])))
 
         err_sum, err_cnt = err_buf
         stat = np.asarray(err_sum)[: epoch.n_leaves] / np.maximum(
             np.asarray(err_cnt)[: epoch.n_leaves], 1.0
         )
         stat[np.asarray(err_cnt)[: epoch.n_leaves] == 0] = -np.inf
-        last = all_losses[-1][-1]
-        return stat, float(last[-1])
+        # finest-level loss of the last step that saw real rays
+        ls = np.concatenate([l for l, c in all_losses], axis=0)
+        cs = np.concatenate([c for l, c in all_losses], axis=0)
+        real = np.nonzero(cs > 0)[0]
+        mse = float(ls[real[-1], -1]) if real.size else 0.0
+        return stat, mse
 
     def fit(self, budgeter: RayBudgeter, start_epoch: int = 0, on_epoch_end=None, verbose=True):
         cfg = self.cfg

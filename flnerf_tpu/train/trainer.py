@@ -127,15 +127,16 @@ class NerfTrainer:
                     key, pc, pf, query_fn, origins, dirs, rc, viewdirs=viewdirs
                 )
                 m = mask[:, None]
-                denom = jnp.maximum(jnp.sum(mask), 1.0) * 3.0
-                fine_mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
-                loss = fine_mse
+                cnt = jnp.sum(mask) * 3.0
+                denom = jnp.maximum(cnt, 1.0)
+                fine_sq = jnp.sum(m * (out["rgb"] - rgb) ** 2)
+                loss = fine_sq / denom
                 if "rgb0" in out:
                     loss = loss + jnp.sum(m * (out["rgb0"] - rgb) ** 2) / denom
                 per_ray_err = jnp.max(jnp.abs(out["rgb"] - rgb), axis=-1)
-                return loss, (fine_mse, per_ray_err)
+                return loss, (fine_sq, cnt, per_ray_err)
 
-            (loss, (fine_mse, per_ray_err)), grads = jax.value_and_grad(
+            (loss, (fine_sq, cnt, per_ray_err)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )((state.params_coarse, state.params_fine))
 
@@ -164,7 +165,11 @@ class NerfTrainer:
                 new_buffers = err_max
 
             new_state = TrainState(new_pc, new_pf, new_opt, state.global_iter + 1)
-            return new_state, new_buffers, (loss, fine_mse)
+            # (sq_sum, value_count): padding-only steps carry zero weight,
+            # so the epoch metric can be RAY-WEIGHTED — a plain mean over
+            # steps diluted the reported mse by up to the pad fraction
+            # (an all-pad step reports 0), overstating train PSNR
+            return new_state, new_buffers, (loss, fine_sq, cnt)
 
         def chunk_fn(state: TrainState, buffers, origins, dirs, viewdirs, rgb, leaf, mask, base_key):
             keys = jax.random.split(base_key, origins.shape[0])
@@ -257,16 +262,22 @@ class NerfTrainer:
             args = [jax.device_put(a, data_sh) for a in args]
             self.state, buffers, metrics = chunk_fn(self.state, buffers, *args, keys[ci])
             if log_every and ci % log_every == 0:
-                loss, fine_mse = jax.tree_util.tree_map(lambda m: float(m[-1]), metrics)
+                loss, sq, cnt = jax.tree_util.tree_map(lambda m: float(m[-1]), metrics)
                 print(
                     f"  chunk {ci}/{n_chunks}: loss {loss:.4f} "
-                    f"psnr {float(mse2psnr(jnp.float32(fine_mse))):.2f}"
+                    f"psnr {float(mse2psnr(jnp.float32(sq / max(cnt, 1.0)))):.2f}"
                 )
-            losses.append(metrics[1])
+            losses.append((np.asarray(metrics[1]), np.asarray(metrics[2])))
 
-        fine_mses = np.concatenate([np.asarray(l) for l in losses])
+        sqs = np.concatenate([l[0] for l in losses])
+        cnts = np.concatenate([l[1] for l in losses])
         leaf_stat = self._finalize_leaf_stat(buffers, epoch.n_leaves)
-        return leaf_stat, float(fine_mses[-min(16, len(fine_mses)):].mean())
+        # RAY-WEIGHTED mse over the last up-to-16 steps that actually saw
+        # real rays (padding-only steps have zero weight and are skipped)
+        real = cnts > 0
+        sq_r, cnt_r = sqs[real][-16:], cnts[real][-16:]
+        mse = float(sq_r.sum() / max(cnt_r.sum(), 1.0)) if cnt_r.size else 0.0
+        return leaf_stat, mse
 
     # ------------------------------------------------------------------
     def precrop_warmup(self, budgeter: RayBudgeter, key) -> None:
@@ -281,8 +292,11 @@ class NerfTrainer:
         gx, gy = np.meshgrid(xs, ys, indexing="ij")
         coords = np.stack([gx.ravel(), gy.ravel()], -1)
         rand_num = int(cfg.n_rand * cfg.precrop_iters / budgeter.n_images)
-        rand_num = min(rand_num, coords.shape[0])
-        sel = budgeter.rng.choice(coords.shape[0], size=rand_num, replace=False)
+        # the reference runs precrop_iters FULL batches (run_nerf.py:367-423,
+        # with replacement across iters) — only fall back to without-
+        # replacement when the budget fits inside one pass of the crop
+        sel = budgeter.rng.choice(coords.shape[0], size=rand_num,
+                                  replace=rand_num > coords.shape[0])
         cs = coords[sel]
 
         img_idx = np.repeat(np.arange(budgeter.n_images), rand_num)

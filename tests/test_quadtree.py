@@ -74,6 +74,21 @@ def test_subdivide_semantics():
     assert n2 == int(deepest.sum())
 
 
+def test_subdivide_min_area_floor():
+    b = _budgeter(n=1, H=16, W=16, init_level=2)
+    f = b.forest
+    stat = np.full(f.n_leaves, 1e9)
+    # children would have area min_area/4 = 16 < 32: the floor refuses
+    assert f.subdivide(stat, thres=0.0, min_area_floor=32.0) == 0
+    assert f.n_leaves == 4
+    # at a permissive floor the split proceeds normally
+    assert f.subdivide(stat, thres=0.0, min_area_floor=16.0) == 4
+    np.testing.assert_allclose(f.min_area, 16.0)
+    # and the budgeter adjust() passthrough honors it too
+    stat2 = np.full(f.n_leaves, 1e9)
+    assert b.adjust(stat2, 0.0, min_area_floor=16.0) == 0
+
+
 def test_child_box_order_matches_reference():
     f = QuadTreeForest.uniform(1, 8, 8, init_level=1)
     f.subdivide(np.array([1.0]), thres=0.0)
