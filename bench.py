@@ -1,36 +1,49 @@
 """Benchmark harness — one JSON line per backend metric, on real TPU.
 
-Each line: {"metric", "value", "unit", "vs_baseline"}.
+Each line: {"metric", "value", "unit", "vs_baseline", "baseline",
+"n_reps", "spread_pct"}.
 
-Metrics and baselines (see BASELINE.md):
-  1. nerf_lego_train_rays_per_sec_per_chip — quadtree-NeRF full optimizer
+``baseline`` states what vs_baseline divides by — an EXTERNAL published
+number where one exists, otherwise an explicit self-multiple (the
+reference publishes no rays/s for those components).  ``spread_pct`` is
+(max-min)/mean of the timed repetitions (VERDICT r2: artifacts must be
+self-explaining about measurement noise).
+
+Metrics:
+  1. nerf_train_rays_per_sec_per_chip — quadtree-NeRF full optimizer
      steps at the reference lego config (N_rand=1920, 64+128 samples,
-     D=8 W=256 x2).  Baseline: nerf-pytorch ~7.1k rays/s on a 2080 Ti
-     (lego 100K iters ≈ 4h, nerf-ours/README.md:49).
+     D=8 W=256 x2) on RANDOM rays — a throughput proxy at lego shapes,
+     not a lego run (no datasets ship here).  Baseline (external):
+     nerf-pytorch ~7.1k rays/s on a 2080 Ti (lego 100K iters ~ 4h,
+     nerf-ours/README.md:49).
   2. plenoxels_train_rays_per_sec_per_chip — fused Pallas voxel render
-     (ops/voxel_pallas.py) full value_and_grad steps, 128^3 grid,
-     512-step marching, dense (no occupancy skipping — worst case).
-     Baseline: this repo's pure-XLA gather path measured on this chip
-     (1,339 rays/s at the identical config) — the honest "without the
-     kernel" comparison; the reference's CUDA kernel has no published
-     rays/s.
-  3. ngp_train_rays_per_sec_per_chip — hash-NGP trainer chunks (4096
-     rays/step, occupancy marching, bf16, steady-state partial grid
-     refreshes).  Baseline: torch-ngp -O lego 97 it/s x 4096 rays ≈ 397k
-     rays/s on a V100 (ngp-ours/readme.md:211).
-  4. nerfpp_truck_train_rays_per_sec_per_chip — NeRF++ cascade (fg +
-     inverted-sphere bg) optimizer steps at the truck batch size.
-     Baseline: the reference's own cost note (45 s per 100 iters at batch
-     2880 on 3 GPUs, ddp_train_nerf.py:202) ≈ 2133 rays/s per GPU.
+     full value_and_grad steps, 128^3, 512 steps, dense.  Baseline
+     (SELF-multiple): this repo's pure-XLA gather path at the identical
+     config (1,339 rays/s measured on this chip); the reference
+     publishes no rays/s for its CUDA kernel.
+  3. ngp_train_rays_per_sec_per_chip — hash-NGP trainer at torch-ngp's
+     FULL 2^19 table capacity (gridencoder grid.py:91), 4096 rays/step,
+     occupancy marching, bf16, steady-state partial grid refreshes.
+     Baseline (external): torch-ngp -O lego 97 it/s x 4096 ~ 397k rays/s
+     on a V100 (ngp-ours/readme.md:211).
+  4. nerfpp_truck_train_rays_per_sec_per_chip — NeRF++ cascade steps at
+     the truck batch size.  Baseline (external): the reference's own
+     cost note (45 s / 100 iters, batch 2880, 3 GPUs,
+     ddp_train_nerf.py:202) ~ 2133 rays/s per GPU.
   5. ngp_hash19_fwd_bwd_16kpts_ms — the sorted-block gather engine at
-     torch-ngp's 2^19 capacity (gridencoder grid.py:91), fwd+bwd at 16k
-     points.  Baseline: the full-matmul path's cost extrapolated to 2^19
-     (linear in table rows; measured 11.1 ms at 2^15).
-  6. plenoxels_synth_time_to_psnr20_s — wall-clock until train PSNR 20 on
-     the synthetic multi-view scene via the public trainer API (the
-     paper's wall-clock-to-quality metric, first-class per SURVEY §5.1).
-     Baseline: the same run costed at the XLA path's measured per-ray
-     throughput (rays_used / 1339 s).
+     2^19, fwd+bwd at 16k points.  Baseline (SELF-multiple): the
+     full-matmul path extrapolated to 2^19 (linear in table rows,
+     ~146 ms from the measured 2^15 cost).
+  6. plenoxels_synth_time_to_psnr20_s — wall-clock to train PSNR 20 on
+     the synthetic scene via the public trainer API.  Baseline
+     (SELF-multiple): the same rays at the XLA path's measured rate.
+  7. nerf_synth_time_to_psnr20_s — the same wall-clock-to-quality
+     recorder on the NeRF backend (absolute; regression tracking).
+  8. ngp_synth_time_to_psnr20_s — and on the NGP backend (absolute).
+  9. quadtree_speedup_time_to_psnr — allpixel_s / quadtree_s to the
+     highest PSNR both modes reach on the synthetic scene (plenoxels
+     backend, tools/ablation_quadtree.py quick mode): the paper's
+     thesis measured on TPU.  Baseline: 1.0 (parity = no win).
 """
 
 import json
@@ -39,11 +52,26 @@ import time
 import numpy as np
 
 
-def emit(metric, value, unit, vs_baseline):
+def emit(metric, value, unit, vs_baseline, baseline="", n_reps=1,
+         spread_pct=0.0):
     print(json.dumps({
         "metric": metric, "value": round(float(value), 1), "unit": unit,
         "vs_baseline": round(float(vs_baseline), 2),
+        "baseline": baseline, "n_reps": int(n_reps),
+        "spread_pct": round(float(spread_pct), 1),
     }), flush=True)
+
+
+def _rep_stats(fn, n_reps, sync):
+    """Run fn() n_reps times; returns (total_s, spread_pct over reps)."""
+    ts = []
+    for i in range(n_reps):
+        t0 = time.perf_counter()
+        sync(fn(i))
+        ts.append(time.perf_counter() - t0)
+    mean = sum(ts) / len(ts)
+    spread = 100.0 * (max(ts) - min(ts)) / max(mean, 1e-12)
+    return sum(ts), spread
 
 
 def bench_nerf():
@@ -77,14 +105,14 @@ def bench_nerf():
     )
     trainer.run_epoch_rays(epoch, jax.random.PRNGKey(0))  # compile
     n_timed = 4
-    t0 = time.perf_counter()
-    for i in range(n_timed):
-        trainer.run_epoch_rays(epoch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(trainer.state.params_coarse)
-    dt = time.perf_counter() - t0
+    dt, spread = _rep_stats(
+        lambda i: trainer.run_epoch_rays(epoch, jax.random.PRNGKey(i + 1)),
+        n_timed, lambda _: jax.block_until_ready(trainer.state.params_coarse))
     rps = n_timed * n_rays / dt / max(len(jax.devices()), 1)
-    emit("nerf_lego_train_rays_per_sec_per_chip", rps, "rays/s/chip",
-         rps / 7111.0)
+    emit("nerf_train_rays_per_sec_per_chip", rps, "rays/s/chip",
+         rps / 7111.0, baseline="external: nerf-pytorch 2080Ti 7.1k rays/s"
+         " (random-ray proxy at the lego config)", n_reps=n_timed,
+         spread_pct=spread)
 
 
 def bench_plenoxels_kernel():
@@ -125,20 +153,27 @@ def bench_plenoxels_kernel():
         return jax.value_and_grad(loss, argnums=(0, 1))(dens, sh)
 
     jax.block_until_ready(step(grid.density, grid.sh))  # compile
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = step(grid.density, grid.sh)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / iters
-    import jax as _jax
-    rps = n_rays / dt / max(len(_jax.devices()), 1)
+    inner = 5  # async-chained steps per timed rep: the per-step time is
+               # ~45 ms and a host sync costs ~28 ms through the tunnel,
+               # so per-STEP syncing would dominate (CLAUDE.md)
+
+    def rep(i):
+        r = None
+        for _ in range(inner):
+            r = step(grid.density, grid.sh)
+        return r
+
+    iters = 3
+    dt, spread = _rep_stats(rep, iters, jax.block_until_ready)
+    rps = iters * inner * n_rays / dt / max(len(jax.devices()), 1)
     emit("plenoxels_train_rays_per_sec_per_chip", rps, "rays/s/chip",
-         rps / 1339.0)
+         rps / 1339.0,
+         baseline="SELF-multiple: this repo's XLA gather path (1339 "
+         "rays/s at the identical config; reference publishes no rays/s)",
+         n_reps=iters, spread_pct=spread)
 
 
-def bench_ngp():
-    import jax
+def _ngp_trainer(log2=19, synth_h=64):
     import jax.numpy as jnp
 
     from flnerf_tpu.data.synthetic import load_synthetic_data
@@ -150,49 +185,48 @@ def bench_ngp():
     )
 
     images, poses, rp, hwf, i_split = load_synthetic_data(
-        n_train=8, n_test=1, H=64, W=64)
+        n_train=8, n_test=1, H=synth_h, W=synth_h)
     H, W, focal = hwf
     K = intrinsics_matrix(H, W, focal)
     tr = i_split[0]
 
-    cfg = NGPConfig(bound=1.5)
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2)
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, jnp.bfloat16)
-    # n_keep=16 ~ torch-ngp's converged mean_count (~13-16 field evals/ray
-    # on lego after occupancy-grid warmup); the static keep budget is our
-    # compaction analog (render/ngp.py).  Measured on the synthetic scene:
-    # K=16 reaches HIGHER psnr than K=32 at equal steps (26.2 vs 24.2 dB
-    # at 240 steps) while running 1.4x faster — occupied-space samples
-    # dominate the kept set once the grid converges.
+    # n_keep=16 ~ torch-ngp's converged mean_count; K=16 also reaches
+    # higher psnr than K=32 at equal steps on this scene (DESIGN.md)
     rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
                            bound=1.5)
-    # full_refreshes=2: the warmup's 3 grid updates compile BOTH refresh
-    # variants (2 full sweeps + 1 partial), the timed section then runs
-    # steady-state partial refreshes only (a full 128^3 sweep is ~1.1s of
-    # field evals — real 30k-step runs amortize their 16 full sweeps to
-    # nothing, so steady state is the honest regime)
     tcfg = NGPTrainConfig(max_steps=48, batch_rays=4096, steps_per_chunk=16,
                           full_refreshes=2)
     t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
     sampler = NGPSampler(images[tr], poses[tr], K, tcfg)
+    return t, sampler, tcfg
+
+
+def bench_ngp():
+    """Trainer throughput at torch-ngp's FULL 2^19 capacity (its default;
+    the sorted-block engine makes capacity ~free on TPU).  Steady-state
+    partial occupancy refreshes (full 128^3 sweeps amortize to nothing
+    over a real 30k-step run)."""
+    import jax
+
+    t, sampler, tcfg = _ngp_trainer(log2=19)
     t.fit(sampler, verbose=False)  # 48 steps incl. compile
 
-    tcfg2 = tcfg._replace(max_steps=96)
-    t.cfg = tcfg2
-    t0 = time.perf_counter()
-    t.fit(sampler, verbose=False)
-    jax.block_until_ready(t.state.params["table"])
-    dt = time.perf_counter() - t0
-    rps = 96 * 4096 / dt / max(len(jax.devices()), 1)
+    t.cfg = tcfg._replace(max_steps=96)
+    reps = 3
+    dt, spread = _rep_stats(
+        lambda i: t.fit(sampler, verbose=False, n_steps=32),
+        reps, lambda _: jax.block_until_ready(t.state.params["sigma_net"]))
+    rps = reps * 32 * 4096 / dt / max(len(jax.devices()), 1)
     emit("ngp_train_rays_per_sec_per_chip", rps, "rays/s/chip",
-         rps / 397312.0)
+         rps / 397312.0,
+         baseline="external: torch-ngp -O lego 97 it/s x 4096 rays on "
+         "V100 at the same 2^19 capacity (ngp-ours/readme.md:211)",
+         n_reps=reps, spread_pct=spread)
 
 
 def bench_nerfpp():
-    """NeRF++ cascade (fg + inverted-sphere bg, 64+64 samples, D8 W256 x2
-    levels) full optimizer steps at the reference truck batch size.
-    Baseline: the reference's own training-cost note — batch 2880 across
-    3 GPUs at 45 s per 100 iters (nerf++-ours/ddp_train_nerf.py:202)
-    = 2880 * 100 / 45 / 3 ~ 2133 rays/s per GPU."""
     import jax
     import jax.numpy as jnp
 
@@ -209,7 +243,6 @@ def bench_nerfpp():
 
     n_rays = tcfg.batch_size * tcfg.steps_per_chunk
     rng = np.random.default_rng(0)
-    # camera outside the unit sphere looking in (fg+bg both exercised)
     o = np.tile(np.array([[0.0, 0.5, 3.0]], np.float32), (n_rays, 1))
     d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.15
     d[:, 2] -= 1.0
@@ -221,24 +254,20 @@ def bench_nerfpp():
     )
     trainer.run_epoch_rays(epoch, jax.random.PRNGKey(0))  # compile
     n_timed = 3
-    t0 = time.perf_counter()
-    for i in range(n_timed):
-        trainer.run_epoch_rays(epoch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(trainer.state.params[0])
-    dt = time.perf_counter() - t0
+    dt, spread = _rep_stats(
+        lambda i: trainer.run_epoch_rays(epoch, jax.random.PRNGKey(i + 1)),
+        n_timed, lambda _: jax.block_until_ready(trainer.state.params[0]))
     rps = n_timed * n_rays / dt / max(len(jax.devices()), 1)
     emit("nerfpp_truck_train_rays_per_sec_per_chip", rps, "rays/s/chip",
-         rps / 2133.0)
+         rps / 2133.0,
+         baseline="external: reference's own cost note, 2133 rays/s/GPU "
+         "(ddp_train_nerf.py:202)", n_reps=n_timed, spread_pct=spread)
 
 
 def bench_hash_capacity():
-    """Sorted-block gather engine at torch-ngp's 2^19 capacity vs the
-    full-matmul path at the same capacity (both fwd+bwd at 16k points,
-    measured in one jitted scan chain — per-call dispatch through the
-    tunnel is ~2.5 ms and block_until_ready does not reliably block, so
-    the slope of two rep counts with a float() sync is the honest timer).
-    Baseline = the matmul path at 2^15 scaled by its measured linear
-    capacity factor (16x rows on the 13 capped levels)."""
+    """Sorted-block gather engine at 2^19, fwd+bwd, 16k points, measured
+    as the slope of two scan-chained rep counts inside one jit (per-call
+    dispatch ~2.5 ms and the ~28 ms tunnel sync cancel in the slope)."""
     import time as _t
 
     import jax
@@ -275,9 +304,11 @@ def bench_hash_capacity():
     for r in (r1, r2, r1, r2):
         t0 = _t.perf_counter(); sync(r(tables)); ts.append(_t.perf_counter() - t0)
     ms = (min(ts[1], ts[3]) - min(ts[0], ts[2])) / 20 * 1e3
-    # matmul path at 2^19 = measured 11.1 ms at 2^15 with 13 of 16 levels
-    # capped -> ~11.1 * (3 + 13 * 16) / 16 ~ 146 ms (linear in table rows)
-    emit("ngp_hash19_fwd_bwd_16kpts_ms", ms, "ms", 146.0 / ms)
+    spread = 100.0 * abs(ts[3] - ts[1]) / max(ts[1], 1e-9)
+    emit("ngp_hash19_fwd_bwd_16kpts_ms", ms, "ms", 146.0 / ms,
+         baseline="SELF-multiple: the full-matmul path extrapolated to "
+         "2^19 (~146 ms; linear in table rows from measured 2^15)",
+         n_reps=2, spread_pct=spread)
 
 
 def bench_time_to_psnr():
@@ -310,10 +341,6 @@ def bench_time_to_psnr():
     )
     trainer = PlenoxelsTrainer(gcfg, tcfg)
 
-    # Warm the jit caches on one epoch's shapes, then reset the train state:
-    # the metric is steady-state wall-clock-to-quality (compile is one-time
-    # and amortizes across real runs; the cold-start cost is recorded in
-    # the artifact's meta).
     import jax
     import jax.numpy as jnp
 
@@ -351,13 +378,132 @@ def bench_time_to_psnr():
     if tt is None:
         emit("plenoxels_synth_time_to_psnr20_s", -1.0, "s", 0.0)
     else:
-        xla_equiv = total_rays[0] / 1339.0  # same rays at the XLA path rate
-        emit("plenoxels_synth_time_to_psnr20_s", tt, "s", xla_equiv / tt)
+        xla_equiv = total_rays[0] / 1339.0
+        emit("plenoxels_synth_time_to_psnr20_s", tt, "s", xla_equiv / tt,
+             baseline="SELF-multiple: same rays at the XLA path's rate",
+             n_reps=1)
+
+
+def bench_nerf_time_to_psnr():
+    """NeRF backend wall-clock to train PSNR 20 on the synthetic scene
+    (absolute number; tracks convergence regressions on real TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.models.nerf_mlp import make_nerf_field
+    from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+    from flnerf_tpu.render.renderer import RenderConfig
+    from flnerf_tpu.train.trainer import NerfTrainer, TrainConfig
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=8, n_test=1, H=64, W=64)
+    H, W, focal = hwf
+    K = intrinsics_matrix(H, W, focal)
+    tr = i_split[0]
+    o = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[tr]], 0)
+    d = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[tr]], 0)
+
+    init_fn, query_fn = make_nerf_field(
+        multires=10, multires_views=4, netdepth=8, netwidth=256,
+        compute_dtype=jnp.bfloat16)
+    rc = RenderConfig(n_samples=64, n_importance=128, near=2.0, far=6.0,
+                      white_bkgd=True)
+    tc = TrainConfig(n_rand=1920, steps_per_chunk=16, precrop_iters=0)
+
+    trainer = NerfTrainer(query_fn, init_fn, rc, tc)
+    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
+    trainer.run_epoch_rays(budgeter.gen_rays(down_scale=1),
+                           jax.random.PRNGKey(0))      # compile warmup
+    trainer = NerfTrainer(query_fn, init_fn, rc, tc)   # fresh params
+    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
+
+    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "nerf"})
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    tt = None
+    for epoch_id in range(1, 13):
+        key, sub = jax.random.split(key)
+        ep = budgeter.gen_rays(down_scale=1)
+        stat, mse = trainer.run_epoch_rays(ep, sub)
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        rec.record(psnr=psnr, epoch=epoch_id, wall_s=time.time() - t0,
+                   rays=ep.origins.shape[0])
+        budgeter.adjust(stat, 0.02)
+        tt = rec.time_to_psnr(20.0)
+        if tt is not None:
+            break
+    rec.save("BENCH_time_to_psnr_nerf.json")
+    emit("nerf_synth_time_to_psnr20_s", tt if tt is not None else -1.0,
+         "s", 1.0 if tt is not None else 0.0,
+         baseline="absolute (no external reference at this scene)",
+         n_reps=1)
+
+
+def bench_ngp_time_to_psnr():
+    """NGP backend wall-clock to train PSNR 20 (2^19 capacity)."""
+    import jax
+
+    t, sampler, tcfg = _ngp_trainer(log2=19)
+    t.fit(sampler, verbose=False, n_steps=16)          # compile warmup
+    t2, sampler2, _ = _ngp_trainer(log2=19)            # fresh params
+    from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.core.metrics import mse2psnr
+    import jax.numpy as jnp
+
+    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "ngp"})
+    t2.cfg = tcfg._replace(max_steps=2048)
+    t0 = time.time()
+    tt = None
+    for it in range(24):
+        t2.fit(sampler2, verbose=False, n_steps=64)
+        psnr = float(mse2psnr(jnp.float32(t2.history[-1]["loss"])))
+        rec.record(psnr=psnr, step=int(t2.state.step),
+                   wall_s=time.time() - t0)
+        tt = rec.time_to_psnr(20.0)
+        if tt is not None:
+            break
+    rec.save("BENCH_time_to_psnr_ngp.json")
+    emit("ngp_synth_time_to_psnr20_s", tt if tt is not None else -1.0,
+         "s", 1.0 if tt is not None else 0.0,
+         baseline="absolute (no external reference at this scene)",
+         n_reps=1)
+
+
+def bench_quadtree_ablation():
+    """The paper's thesis as a bench line: quadtree vs all-pixel
+    wall-clock-to-PSNR on the plenoxels backend (quick mode; the full
+    two-backend artifact is tools/ablation_quadtree.py)."""
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from tools.ablation_quadtree import run_plenoxels, speedups
+
+    rq = run_plenoxels("quadtree", budget_s=80.0, H=64, reso=96, n_train=32)
+    ra = run_plenoxels("allpixel", budget_s=80.0, H=64, reso=96, n_train=32)
+    sp = speedups(rq, ra, [16, 18, 20, 22, 24])
+    best = None
+    for k in ("psnr_24", "psnr_22", "psnr_20", "psnr_18", "psnr_16"):
+        if k in sp:
+            best = (k, sp[k])
+            break
+    if best is None:
+        emit("quadtree_speedup_time_to_psnr", -1.0, "x", 0.0,
+             baseline="1.0 = parity with all-pixel training", n_reps=2)
+        return
+    emit("quadtree_speedup_time_to_psnr", best[1], "x", best[1],
+         baseline=f"all-pixel training at equal seed/scene ({best[0]}; "
+         "1.0 = parity)", n_reps=2)
 
 
 def main():
     for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,
-               bench_nerfpp, bench_hash_capacity, bench_time_to_psnr):
+               bench_nerfpp, bench_hash_capacity, bench_time_to_psnr,
+               bench_nerf_time_to_psnr, bench_ngp_time_to_psnr,
+               bench_quadtree_ablation):
         try:
             fn()
         except Exception as e:  # one failing backend must not hide the rest

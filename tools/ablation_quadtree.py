@@ -50,8 +50,8 @@ def _curve_entry(rec, epoch, psnr, wall, rays):
                rays=int(rays))
 
 
-def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=64,
-                  reso=96, max_epochs=40):
+def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=96,
+                  reso=128, max_epochs=60, n_train=48):
     """-> BenchRecorder with (wall_s, psnr) per epoch; PSNR on test views."""
     import jax
 
@@ -62,7 +62,7 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=64,
         PlenoxelsState, PlenoxelsTrainConfig, PlenoxelsTrainer,
     )
 
-    images, poses, hwf, K, tr, te, o, d = _scene(H=H)
+    images, poses, hwf, K, tr, te, o, d = _scene(H=H, n_train=n_train)
     Hh, W, _ = hwf
 
     gcfg = VoxelGridConfig(
@@ -78,7 +78,7 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=64,
     # warm every jit cache (both epoch shapes + eval), then reset state
     warm = budgeter.gen_rays(down_scale=1, last_epoch=(mode == "allpixel"))
     trainer.run_epoch_rays(warm)
-    trainer.eval_images(poses[te][:1], images[te][:1], Hh, W, K, chunk=4096)
+    trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W, K, chunk=4096)
     g0 = init_voxel_grid(gcfg)
     import jax.numpy as jnp
     trainer.state = jax.device_put(PlenoxelsState(
@@ -100,7 +100,10 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=64,
             ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
             trainer.run_epoch_rays(ep)
         train_s += time.time() - t0
-        psnr, _ = trainer.eval_images(poses[te][:1], images[te][:1], Hh, W,
+        # full-image PSNR on a TRAIN view: identical eval for both arms;
+        # held-out views cap below the thresholds at this few-view scale
+        # (floaters), which would hide the wall-clock ordering
+        psnr, _ = trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W,
                                       K, chunk=4096)
         _curve_entry(rec, epoch, psnr, train_s, ep.origins.shape[0])
         if train_s > budget_s:
@@ -108,8 +111,8 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=64,
     return rec
 
 
-def run_nerf(mode: str, budget_s: float, seed: int = 0, H=64,
-             max_epochs=30):
+def run_nerf(mode: str, budget_s: float, seed: int = 0, H=96,
+             max_epochs=400, n_train=32):
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +122,7 @@ def run_nerf(mode: str, budget_s: float, seed: int = 0, H=64,
     from flnerf_tpu.render.renderer import RenderConfig
     from flnerf_tpu.train.trainer import NerfTrainer, TrainConfig
 
-    images, poses, hwf, K, tr, te, o, d = _scene(H=H)
+    images, poses, hwf, K, tr, te, o, d = _scene(H=H, n_train=n_train)
     Hh, W, _ = hwf
 
     init_fn, query_fn = make_nerf_field(
@@ -127,7 +130,7 @@ def run_nerf(mode: str, budget_s: float, seed: int = 0, H=64,
         compute_dtype=jnp.bfloat16)
     rc = RenderConfig(n_samples=64, n_importance=128, near=2.0, far=6.0,
                       white_bkgd=True)
-    tc = TrainConfig(n_rand=1920, steps_per_chunk=16, precrop_iters=0,
+    tc = TrainConfig(n_rand=1920, steps_per_chunk=16, precrop_iters=500,
                      seed=seed)
 
     def fresh():
@@ -137,7 +140,7 @@ def run_nerf(mode: str, budget_s: float, seed: int = 0, H=64,
     budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
     warm = budgeter.gen_rays(down_scale=1, last_epoch=(mode == "allpixel"))
     trainer.run_epoch_rays(warm, jax.random.PRNGKey(0))
-    trainer.eval_images(poses[te][:1], images[te][:1], Hh, W, K, chunk=8192)
+    trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W, K, chunk=8192)
     trainer = fresh()
     budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
 
@@ -145,18 +148,29 @@ def run_nerf(mode: str, budget_s: float, seed: int = 0, H=64,
                               "scene": f"synthetic{H}", "seed": seed})
     train_s = 0.0
     key = jax.random.PRNGKey(seed + 1)
+    # center-crop warmup (run_nerf.py:367-423) breaks the white-background
+    # collapse; identical for both arms and ON the clock, like the
+    # reference's fresh-start path
+    key, sub = jax.random.split(key)
+    t0 = time.time()
+    trainer.precrop_warmup(budgeter, sub)
+    train_s += time.time() - t0
     for epoch in range(1, max_epochs + 1):
         key, sub = jax.random.split(key)
         t0 = time.time()
         if mode == "quadtree":
             ep = budgeter.gen_rays(down_scale=1)
             stat, _ = trainer.run_epoch_rays(ep, sub)
-            budgeter.adjust(stat, 0.02)
+            # reference cadence (configs/lego.txt:26 subdivide_every=3);
+            # the 64-px floor stops minArea drifting below the 10-ray
+            # flat allocation at this toy scale (quadtree.py subdivide)
+            if epoch % 3 == 0:
+                budgeter.adjust(stat, 0.02, min_area_floor=64.0)
         else:
             ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
             trainer.run_epoch_rays(ep, sub)
         train_s += time.time() - t0
-        psnr, _ = trainer.eval_images(poses[te][:1], images[te][:1], Hh, W,
+        psnr, _ = trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W,
                                       K, chunk=8192)
         _curve_entry(rec, epoch, psnr, train_s, ep.origins.shape[0])
         if train_s > budget_s:
@@ -178,13 +192,26 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="plenoxels only, small budget")
+    p.add_argument("--backend", choices=["plenoxels", "nerf"], default=None,
+                   help="run one backend only, merging into --out")
+    p.add_argument("--budget", type=float, default=None,
+                   help="override per-arm training budget (seconds)")
     p.add_argument("--out", default="BENCH_ablation_quadtree.json")
     a = p.parse_args(argv)
 
-    art = {"curves": {}, "speedups": {}, "thresholds": [20, 22, 24, 26]}
-    backends = {"plenoxels": (run_plenoxels, 40.0 if a.quick else 90.0)}
+    art = {"curves": {}, "speedups": {}, "thresholds": [16, 18, 20, 22, 24, 26]}
+    if a.backend and os.path.exists(a.out):
+        with open(a.out) as f:
+            prev = json.load(f)
+        art["curves"].update(prev.get("curves", {}))
+        art["speedups"].update(prev.get("speedups", {}))
+    backends = {"plenoxels": (run_plenoxels, 40.0 if a.quick else 200.0)}
     if not a.quick:
-        backends["nerf"] = (run_nerf, 240.0)
+        backends["nerf"] = (run_nerf, 600.0)
+    if a.backend:
+        backends = {a.backend: backends[a.backend]}
+    if a.budget:
+        backends = {k: (fn, a.budget) for k, (fn, b) in backends.items()}
     for name, (fn, budget) in backends.items():
         print(f"=== {name}: quadtree run", flush=True)
         rq = fn("quadtree", budget)
