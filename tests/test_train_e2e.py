@@ -101,3 +101,30 @@ def test_leaf_stat_on_device_matches_host(tiny_scene):
     assert np.isfinite(stat[counts > 0]).all()
     assert np.all(np.isneginf(stat[counts == 0]))
     assert (stat[counts > 0] >= 0).all()
+
+
+def test_epoch_mse_ignores_padding_steps(tiny_scene):
+    """The reported epoch MSE must be ray-weighted: padding-only scan steps
+    carry zero real rays and must not dilute it (they report 0 loss, which
+    overstated train PSNR by up to the pad fraction before the fix)."""
+    images, poses, hwf, K, i_split, origins, dirs = tiny_scene
+    tr = i_split[0]
+    b = RayBudgeter(images[tr], origins, dirs, init_level=2, seed=5)
+    ep = b.gen_rays(down_scale=4, shuffle=True)
+
+    init_fn, query_fn = make_nerf_field(
+        multires=4, multires_views=2, netdepth=2, netwidth=32,
+        compute_dtype=jnp.float32)
+    rc = RenderConfig(n_samples=8, n_importance=0, near=1.5, far=6.0,
+                      white_bkgd=True)
+
+    # n_rand chosen so the last chunk is mostly padding: chunk size is
+    # n_rand*steps_per_chunk=1024 against ~1000+ real rays
+    tc = TrainConfig(n_rand=128, steps_per_chunk=8, precrop_iters=0)
+    t = NerfTrainer(query_fn, init_fn, rc, tc)
+    _, mse = t.run_epoch_rays(ep, jax.random.PRNGKey(0))
+
+    # an untrained white render of this scene sits around mse ~0.1;
+    # dilution by all-pad steps would push the reported value far below
+    # any physically-possible per-ray mse at init
+    assert mse > 0.01, mse
