@@ -484,11 +484,11 @@ def bench_quadtree_ablation():
 
     rq = run_plenoxels("quadtree", budget_s=80.0, H=64, reso=96, n_train=32)
     ra = run_plenoxels("allpixel", budget_s=80.0, H=64, reso=96, n_train=32)
-    sp = speedups(rq, ra, [16, 18, 20, 22, 24])
+    sp = speedups(rq, ra, [16, 18, 20, 22, 24, 26, 28, 30])
     best = None
-    for k in ("psnr_24", "psnr_22", "psnr_20", "psnr_18", "psnr_16"):
-        if k in sp:
-            best = (k, sp[k])
+    for t in (30, 28, 26, 24, 22, 20, 18, 16):  # highest crossed threshold
+        if f"psnr_{t}" in sp:
+            best = (f"psnr_{t}", sp[f"psnr_{t}"])
             break
     if best is None:
         emit("quadtree_speedup_time_to_psnr", -1.0, "x", 0.0,

@@ -199,7 +199,11 @@ def main(argv=None):
     p.add_argument("--out", default="BENCH_ablation_quadtree.json")
     a = p.parse_args(argv)
 
-    art = {"curves": {}, "speedups": {}, "thresholds": [16, 18, 20, 22, 24, 26]}
+    # the few-ray advantage operates in the HIGH-psnr regime (epochs get
+    # cheap only after subdivision concentrates rays), so thresholds must
+    # extend well past the early identical-arms phase
+    art = {"curves": {}, "speedups": {},
+           "thresholds": [16, 18, 20, 22, 24, 26, 28, 30, 32, 34]}
     if a.backend and os.path.exists(a.out):
         with open(a.out) as f:
             prev = json.load(f)
