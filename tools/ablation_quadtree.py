@@ -95,7 +95,9 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=96,
         if mode == "quadtree":
             ep = budgeter.gen_rays(down_scale=1)
             stat, _ = trainer.run_epoch_rays(ep)
-            budgeter.adjust(stat, tcfg.subdivide_thres)
+            # 64-px floor: minArea drift below the flat 10-ray allocation
+            # starves the hardest leaves at toy scales (see run_nerf)
+            budgeter.adjust(stat, tcfg.subdivide_thres, min_area_floor=64.0)
         else:
             ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
             trainer.run_epoch_rays(ep)
