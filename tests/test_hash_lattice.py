@@ -1,0 +1,182 @@
+"""Lattice-hash engine (ops/hash_lattice.py) vs its XLA oracle twin.
+
+The engine changes the hash function on hashed levels (linear lattice
+hash instead of xor — see the module docstring), so parity here is
+against ``lattice_encode_xla`` (identical semantics, plain gathers), not
+the xor-path oracle.  Dense levels keep reference index semantics
+(ngp-ours/gridencoder/src/gridencoder.cu:36-69) bit-for-bit, which
+test_dense_matches_xor_oracle pins via the shared-table comparison.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flnerf_tpu.ops.hash_lattice import (
+    _geometry,
+    _pick_multipliers,
+    init_lattice_tables,
+    lattice_encode,
+    lattice_encode_split,
+    lattice_encode_xla,
+    levels_from_pack64,
+    make_lattice_spec,
+    pack64_from_levels,
+    spill_fraction_lattice,
+)
+from flnerf_tpu.ops.hash_pallas import hash_encode_xla
+from flnerf_tpu.ops.hash_sorted import make_split_spec
+
+SPEC = make_lattice_spec(log2_hashmap_size=19)
+
+
+def _tables(spec, seed=0):
+    return init_lattice_tables(jax.random.PRNGKey(seed), spec)
+
+
+@pytest.mark.parametrize("n", [512, 4096, 20000])
+def test_forward_matches_oracle(n):
+    _, tb = _tables(SPEC)
+    x = jax.random.uniform(jax.random.PRNGKey(n), (n, 3))
+    ref = lattice_encode_xla(x, tb, SPEC)
+    out = lattice_encode(x, tb, SPEC)
+    # features are U(-1e-4, 1e-4) sums of 8 corners; the kernel fetches
+    # in bf16 and decodes 16-bit fixed-point fractions
+    np.testing.assert_allclose(out, ref, atol=1.2e-5)
+
+
+@pytest.mark.slow
+def test_forward_multi_chunk():
+    # n > POINT_CAP exercises the round-robin deal across 2 chunks
+    _, tb = _tables(SPEC)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (70000, 3))
+    ref = lattice_encode_xla(x, tb, SPEC)
+    out = lattice_encode(x, tb, SPEC)
+    np.testing.assert_allclose(out, ref, atol=1.2e-5)
+    assert float(spill_fraction_lattice(x, SPEC)) < 1e-4
+
+
+def test_clustered_points_dense_gap():
+    # the ADVICE-r2 scenario: two separated z-slabs make sorted dense keys
+    # straddle a gap; the dual (head+tail) slab must keep fetches exact
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    a = jax.random.uniform(k1, (4096, 3)) * jnp.asarray([1.0, 1.0, 0.08])
+    b = jax.random.uniform(k2, (4096, 3)) * jnp.asarray([1.0, 1.0, 0.08]) \
+        + jnp.asarray([0.0, 0.0, 0.9])
+    x = jnp.concatenate([a, b])
+    _, tb = _tables(SPEC)
+    ref = lattice_encode_xla(x, tb, SPEC)
+    out = lattice_encode(x, tb, SPEC)
+    assert float(spill_fraction_lattice(x, SPEC)) < 2e-3
+    # spilled corners drop; bound the damage rather than demand exactness
+    err = jnp.abs(out - ref).max()
+    assert float(err) < 5e-5, float(err)
+
+
+def test_boundary_coordinates():
+    _, tb = _tables(SPEC)
+    x = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.5],
+                     [1.0, 0.0, 1.0]] * 64)
+    ref = lattice_encode_xla(x, tb, SPEC)
+    out = lattice_encode(x, tb, SPEC)
+    np.testing.assert_allclose(out, ref, atol=1.2e-5)
+
+
+def test_grad_matches_oracle():
+    _, tb = _tables(SPEC)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (4096, 3))
+    w = jax.random.normal(jax.random.PRNGKey(6), (4096, SPEC.n_big * 2))
+
+    g_eng = jax.grad(lambda t: jnp.sum(lattice_encode(x, t, SPEC) * w))(tb)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(lattice_encode_xla(x, t, SPEC) * w))(tb)
+    # kernel scatters w*g contributions in bf16
+    np.testing.assert_allclose(g_eng, g_ref, atol=3e-2)
+    # relative check on the well-populated entries
+    big = jnp.abs(g_ref) > 0.5
+    if bool(big.any()):
+        rel = jnp.abs(g_eng - g_ref)[big] / jnp.abs(g_ref)[big]
+        assert float(rel.max()) < 2e-2
+
+
+def test_split_encode_matches_oracles():
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = SPEC
+    ts, tb = _tables(spec)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2048, 3))
+    with pltpu.force_tpu_interpret_mode():
+        out = lattice_encode_split(x, (ts, tb), spec)
+    ref_small = hash_encode_xla(x, ts, spec.split.small)
+    ref_big = lattice_encode_xla(x, tb, spec)
+    assert out.shape == (2048, spec.output_dim)
+    np.testing.assert_allclose(out[:, :ref_small.shape[1]], ref_small,
+                               atol=2e-5)
+    np.testing.assert_allclose(out[:, ref_small.shape[1]:], ref_big,
+                               atol=1.2e-5)
+
+
+def test_dense_matches_xor_oracle():
+    """Dense (non-hashed) levels keep reference index semantics exactly:
+    load the SAME per-level tables into both engines and compare the
+    dense columns against the xor-path oracle."""
+    spec = SPEC
+    split = make_split_spec(log2_hashmap_size=19)
+    _, tb = _tables(spec)
+    levels = levels_from_pack64(tb, spec)
+    # big-group xor-oracle twin: packed [Lb, C, t_r, LANES] layout
+    big = split.big
+    t_r = spec.t_r64 * 64 // 128
+    packed = np.zeros((spec.n_big, 2, t_r, 128), np.float32)
+    for li, lvl in enumerate(levels):
+        flat = np.zeros((t_r * 128, 2), np.float32)
+        flat[: lvl.shape[0]] = np.asarray(lvl)
+        packed[li] = flat.reshape(t_r, 128, 2).transpose(2, 0, 1)
+    from flnerf_tpu.ops.hash_pallas import PackedHashSpec
+
+    pspec = PackedHashSpec(base=big, t_cap=t_r * 128, t_r=t_r)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (1024, 3))
+    ref = hash_encode_xla(x, jnp.asarray(packed), pspec)
+    out = lattice_encode(x, tb, spec)
+    n_dense = int(np.sum(~big.use_hash.astype(bool)))
+    np.testing.assert_allclose(out[:, : 2 * n_dense],
+                               ref[:, : 2 * n_dense], atol=1.2e-5)
+
+
+def test_pack_roundtrip():
+    spec = SPEC
+    rng = np.random.default_rng(0)
+    levels = [jnp.asarray(rng.normal(size=(int(s), 2)).astype(np.float32))
+              for s in spec.split.big.sizes]
+    tb = pack64_from_levels(levels, spec)
+    back = levels_from_pack64(tb, spec)
+    for a, b in zip(levels, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spill_zero_uniform():
+    x = jax.random.uniform(jax.random.PRNGKey(13), (16384, 3))
+    assert float(spill_fraction_lattice(x, SPEC)) == 0.0
+
+
+def test_multipliers_alias_distance():
+    m = _pick_multipliers(1 << 19, 14)
+    assert m.shape == (14, 3)
+    assert len({tuple(r) for r in m}) == 14          # distinct per level
+    # every chosen multiplier's alias lattice has no short vector: nearby
+    # cells (the ones trilerp mixes) can never collide
+    ax = np.arange(-16, 17, dtype=np.int64)
+    dx, dy, dz = np.meshgrid(ax, ax, ax, indexing="ij")
+    nz = (dx != 0) | (dy != 0) | (dz != 0)
+    for p in m:
+        hit = ((dx * p[0] + dy * p[1] + dz * p[2]) % (1 << 19) == 0) & nz
+        assert not hit.any(), p
+
+
+def test_geometry_scales_block_with_density():
+    g_small = _geometry(512, SPEC)
+    g_big = _geometry(65536, SPEC)
+    assert g_small.block < g_big.block
+    assert g_small.r_max <= SPEC.r_pad and g_big.r_max <= SPEC.r_pad
+    assert g_big.nblk % g_big.n_g == 0
