@@ -336,10 +336,10 @@ def _decode_cols(p0, p1):
 
 
 def _corner_w(fx, fy, fz, c):
-    b = _corner_bits(c)
-    wx = fx if b[0] else 1.0 - fx
-    wy = fy if b[1] else 1.0 - fy
-    wz = fz if b[2] else 1.0 - fz
+    """Trilinear weight for corner ``c`` (traced or static int)."""
+    wx = jnp.where((c & 1) == 1, fx, 1.0 - fx)
+    wy = jnp.where(((c >> 1) & 1) == 1, fy, 1.0 - fy)
+    wz = jnp.where(((c >> 2) & 1) == 1, fz, 1.0 - fz)
     return wx * wy * wz
 
 
@@ -363,15 +363,19 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_rows), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
-    for j in range(cb):
+
+    # fori_loops (not Python unrolls): Mosaic stacks unrolled bodies'
+    # temporaries CONCURRENTLY — the 4x8 unrolled version blew the 16 MB
+    # scoped-VMEM limit on real TPU (one live oh+rows set is ~1.5 MB).
+    def j_body(j, _):
         bi = ((ch * lb + l + off) * nblk + g * cb + j) * 8
-        s = skey_ref[0, 0, :, j:j + 1]                       # [BLOCK, 1]
-        p0 = sp0_ref[0, 0, :, j:j + 1]
-        p1 = sp1_ref[0, 0, :, j:j + 1]
+        s = skey_ref[0, 0, :, pl.ds(j, 1)]                   # [BLOCK, 1]
+        p0 = sp0_ref[0, 0, :, pl.ds(j, 1)]
+        p1 = sp1_ref[0, 0, :, pl.ds(j, 1)]
         fx, fy, fz = _decode_cols(p0, p1)
-        acc0 = jnp.zeros((width, 1), jnp.float32)
-        acc1 = jnp.zeros((width, 1), jnp.float32)
-        for c in range(8):
+
+        def c_body(c, accs):
+            acc0, acc1 = accs
             a = s + offs_ref[(l + off) * 8 + c]
             rel = (a >> 6) - bfull_ref[bi + c]
             b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
@@ -397,10 +401,16 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                          axis=1, keepdims=True)
             f1 = jnp.sum(jnp.where(lane + 1 == lane_iota, rows, 0.0),
                          axis=1, keepdims=True)
-            acc0 += w * f0
-            acc1 += w * f1
-        out0_ref[0, 0, :, j] = acc0[:, 0]
-        out1_ref[0, 0, :, j] = acc1[:, 0]
+            return acc0 + w * f0, acc1 + w * f1
+
+        acc0, acc1 = jax.lax.fori_loop(
+            0, 8, c_body, (jnp.zeros((width, 1), jnp.float32),
+                           jnp.zeros((width, 1), jnp.float32)))
+        out0_ref[0, 0, :, pl.ds(j, 1)] = acc0
+        out1_ref[0, 0, :, pl.ds(j, 1)] = acc1
+        return 0
+
+    jax.lax.fori_loop(0, cb, j_body, 0)
 
 
 def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
@@ -422,15 +432,19 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
     row_iota = jax.lax.broadcasted_iota(
         jnp.int32, (width, (2 if dual else 1) * r_max), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
-    for j in range(cb):
+
+    # fori_loops for the same scoped-VMEM reason as _fetch_kernel (the
+    # RMW slab accumulation is sequential anyway).
+    def j_body(j, _):
         bi = ((ch * lb + l + off) * nblk + g * cb + j) * 8
-        s = skey_ref[0, 0, :, j:j + 1]
-        p0 = sp0_ref[0, 0, :, j:j + 1]
-        p1 = sp1_ref[0, 0, :, j:j + 1]
+        s = skey_ref[0, 0, :, pl.ds(j, 1)]
+        p0 = sp0_ref[0, 0, :, pl.ds(j, 1)]
+        p1 = sp1_ref[0, 0, :, pl.ds(j, 1)]
         fx, fy, fz = _decode_cols(p0, p1)
-        g0 = g0_ref[0, 0, :, j:j + 1]
-        g1 = g1_ref[0, 0, :, j:j + 1]
-        for c in range(8):
+        g0 = g0_ref[0, 0, :, pl.ds(j, 1)]
+        g1 = g1_ref[0, 0, :, pl.ds(j, 1)]
+
+        def c_body(c, carry):
             a = s + offs_ref[(l + off) * 8 + c]
             rel = (a >> 6) - bfull_ref[bi + c]
             b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
@@ -456,6 +470,11 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
             if dual:
                 cur2 = grad_ref[0, pl.ds(b_hi, r_max), :]
                 grad_ref[0, pl.ds(b_hi, r_max), :] = cur2 + gl[r_max:]
+            return carry
+
+        return jax.lax.fori_loop(0, 8, c_body, _)
+
+    jax.lax.fori_loop(0, cb, j_body, 0)
 
 
 # ---------------------------------------------------------------------------
