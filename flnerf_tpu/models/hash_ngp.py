@@ -37,6 +37,12 @@ from flnerf_tpu.ops.hash_pallas import (
     init_packed_table,
     make_packed_spec,
 )
+from flnerf_tpu.ops.hash_lattice import (
+    LatticeSpec,
+    init_lattice_tables,
+    lattice_encode_split,
+    make_lattice_spec,
+)
 from flnerf_tpu.ops.hash_sorted import (
     SplitHashSpec,
     hash_encode_split,
@@ -61,6 +67,12 @@ class NGPConfig(NamedTuple):
     # Matches make_split_spec's default (ADVICE r2): the sorted path's flat
     # per-level cost only wins above ~2^15 (measured, DESIGN.md §3).
     split_min_size: int = 1 << 15
+    # big-level engine at log2_hashmap_size >= 16: 'sorted' (corner-sorted
+    # blocks, ops/hash_sorted.py, reference xor hash bit-for-bit) or
+    # 'lattice' (one base-key sort + slab matmuls, ops/hash_lattice.py,
+    # linear hash — 8x fewer sorted keys per level).  'auto' currently
+    # resolves to 'sorted' pending TPU validation of the lattice engine.
+    hash_engine: str = "auto"
     desired_resolution: int = 2048  # x bound
     num_layers: int = 2
     hidden_dim: int = 64
@@ -132,6 +144,18 @@ def make_ngp_spec(cfg: NGPConfig):
     """PackedHashSpec (matmul kernels) up to 2^15 tables; SplitHashSpec
     (sorted-block gather engine) for 2^16+."""
     if cfg.log2_hashmap_size >= 16:
+        engine = cfg.hash_engine
+        if engine == "auto":
+            engine = "sorted"
+        if engine == "lattice":
+            return make_lattice_spec(
+                num_levels=cfg.num_levels,
+                level_dim=cfg.level_dim,
+                base_resolution=cfg.base_resolution,
+                log2_hashmap_size=cfg.log2_hashmap_size,
+                desired_resolution=int(cfg.desired_resolution * cfg.bound),
+                split_min_size=cfg.split_min_size,
+            )
         return make_split_spec(
             num_levels=cfg.num_levels,
             level_dim=cfg.level_dim,
@@ -159,6 +183,8 @@ def _use_pallas(cfg: NGPConfig) -> bool:
 
 def init_ngp_table(key, spec):
     """Table params for either spec kind (split tuple / packed array)."""
+    if isinstance(spec, LatticeSpec):
+        return init_lattice_tables(key, spec)
     if isinstance(spec, SplitHashSpec):
         return init_split_table(key, spec)
     return init_packed_table(key, spec)
@@ -168,6 +194,9 @@ def encode_with_spec(x01, table, spec, cfg: NGPConfig):
     """Dispatch x01 -> [N, L*C] features over the spec kind + backend —
     the one place every NGP-spec consumer (ngp, dnerf variants) routes
     through so new engines stay wired everywhere."""
+    if isinstance(spec, LatticeSpec):
+        return lattice_encode_split(x01, table, spec, cfg.hash_chunk,
+                                    use_kernels=_use_pallas(cfg))
     if isinstance(spec, SplitHashSpec):
         return hash_encode_split(x01, table, spec, cfg.hash_chunk,
                                  use_kernels=_use_pallas(cfg))

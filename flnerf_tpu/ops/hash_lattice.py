@@ -364,14 +364,16 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_rows), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
 
-    # fori_loops (not Python unrolls): Mosaic stacks unrolled bodies'
-    # temporaries CONCURRENTLY — the 4x8 unrolled version blew the 16 MB
-    # scoped-VMEM limit on real TPU (one live oh+rows set is ~1.5 MB).
-    def j_body(j, _):
+    # The corner loop is a fori_loop (not a Python unroll): Mosaic stacks
+    # unrolled bodies' temporaries CONCURRENTLY — the 4x8 fully-unrolled
+    # version blew the 16 MB scoped-VMEM limit on real TPU (one live
+    # oh+rows set is ~1.5 MB).  The j loop stays a static unroll: lane-dim
+    # slices (the [..., j] tile columns) must use static offsets.
+    for j in range(cb):
         bi = ((ch * lb + l + off) * nblk + g * cb + j) * 8
-        s = skey_ref[0, 0, :, pl.ds(j, 1)]                   # [BLOCK, 1]
-        p0 = sp0_ref[0, 0, :, pl.ds(j, 1)]
-        p1 = sp1_ref[0, 0, :, pl.ds(j, 1)]
+        s = skey_ref[0, 0, :, j:j + 1]                       # [BLOCK, 1]
+        p0 = sp0_ref[0, 0, :, j:j + 1]
+        p1 = sp1_ref[0, 0, :, j:j + 1]
         fx, fy, fz = _decode_cols(p0, p1)
 
         def c_body(c, accs):
@@ -406,11 +408,8 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
         acc0, acc1 = jax.lax.fori_loop(
             0, 8, c_body, (jnp.zeros((width, 1), jnp.float32),
                            jnp.zeros((width, 1), jnp.float32)))
-        out0_ref[0, 0, :, pl.ds(j, 1)] = acc0
-        out1_ref[0, 0, :, pl.ds(j, 1)] = acc1
-        return 0
-
-    jax.lax.fori_loop(0, cb, j_body, 0)
+        out0_ref[0, 0, :, j] = acc0[:, 0]
+        out1_ref[0, 0, :, j] = acc1[:, 0]
 
 
 def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
@@ -433,16 +432,17 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
         jnp.int32, (width, (2 if dual else 1) * r_max), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
 
-    # fori_loops for the same scoped-VMEM reason as _fetch_kernel (the
-    # RMW slab accumulation is sequential anyway).
-    def j_body(j, _):
+    # Corner loop as fori_loop for the same scoped-VMEM reason as
+    # _fetch_kernel (the RMW slab accumulation is sequential anyway);
+    # j stays static (lane-dim tile slices need static offsets).
+    for j in range(cb):
         bi = ((ch * lb + l + off) * nblk + g * cb + j) * 8
-        s = skey_ref[0, 0, :, pl.ds(j, 1)]
-        p0 = sp0_ref[0, 0, :, pl.ds(j, 1)]
-        p1 = sp1_ref[0, 0, :, pl.ds(j, 1)]
+        s = skey_ref[0, 0, :, j:j + 1]
+        p0 = sp0_ref[0, 0, :, j:j + 1]
+        p1 = sp1_ref[0, 0, :, j:j + 1]
         fx, fy, fz = _decode_cols(p0, p1)
-        g0 = g0_ref[0, 0, :, pl.ds(j, 1)]
-        g1 = g1_ref[0, 0, :, pl.ds(j, 1)]
+        g0 = g0_ref[0, 0, :, j:j + 1]
+        g1 = g1_ref[0, 0, :, j:j + 1]
 
         def c_body(c, carry):
             a = s + offs_ref[(l + off) * 8 + c]
@@ -472,9 +472,7 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                 grad_ref[0, pl.ds(b_hi, r_max), :] = cur2 + gl[r_max:]
             return carry
 
-        return jax.lax.fori_loop(0, 8, c_body, _)
-
-    jax.lax.fori_loop(0, cb, j_body, 0)
+        jax.lax.fori_loop(0, 8, c_body, 0)
 
 
 # ---------------------------------------------------------------------------

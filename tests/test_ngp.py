@@ -145,6 +145,44 @@ def test_ngp_field_shapes_and_grads():
         assert np.isfinite(np.asarray(w)).all()
 
 
+def test_ngp_field_lattice_engine():
+    """hash_engine='lattice' routes big levels through ops/hash_lattice:
+    shapes, finite grads into both table parts, and parity with the
+    engine's own XLA twin through the model dispatch."""
+    from flnerf_tpu.models.hash_ngp import encode_with_spec, make_ngp_spec
+    from flnerf_tpu.ops.hash_lattice import LatticeSpec
+
+    cfg = NGPConfig(log2_hashmap_size=16, desired_resolution=256,
+                    hash_engine="lattice")
+    spec = make_ngp_spec(cfg)
+    assert isinstance(spec, LatticeSpec)
+    init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=jnp.float32)
+    params = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 4, 3), minval=-1, maxval=1)
+    sigma, geo = density_fn(params, x)
+    assert sigma.shape == (5, 4) and geo.shape == (5, 4, 15)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    x01 = jax.random.uniform(jax.random.PRNGKey(2), (33, 3))
+    with pltpu.force_tpu_interpret_mode():
+        ek = encode_with_spec(x01, params["table"], spec,
+                              cfg._replace(hash_backend="pallas"))
+    ex = encode_with_spec(x01, params["table"], spec,
+                          cfg._replace(hash_backend="xla"))
+    np.testing.assert_allclose(np.asarray(ek), np.asarray(ex),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(p):
+        s, g = density_fn(p, x)
+        return jnp.sum(s * s) + jnp.sum(g * g)
+
+    grads = jax.grad(loss)(params)
+    gs, gb = grads["table"]
+    assert float(jnp.abs(gb).sum()) > 0
+    assert gs is None or np.isfinite(np.asarray(gs)).all()
+
+
 @pytest.mark.slow
 def test_ngp_e2e_training_improves():
     from flnerf_tpu.data.synthetic import load_synthetic_data
