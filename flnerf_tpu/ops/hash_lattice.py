@@ -634,8 +634,44 @@ def _bwd(spec: LatticeSpec, res, g):
                           memory_space=pltpu.SMEM)
     parts = []
     cb = geo.nblk // geo.n_g
+    pad_rows = spec.t_r64 + spec.r_pad
     for off, lbp, dual in _level_ranges(spec):
         if lbp == 0:
+            continue
+        if dual:
+            # Dense levels scatter ONE CALL PER LEVEL with the output
+            # sized to that level's own table: the shared
+            # [lbp, t_r64+r_pad] result (~13 MB at 2^19) gets promoted
+            # by XLA into scoped VMEM (S(1)) and blows the 16 MB limit;
+            # per-level results stay <= ~2.3 MB.  (The hashed result
+            # below is ~49 MB and never gets promoted.)
+            sizes = spec.split.big.sizes
+            for li in range(off, off + lbp):
+                rows_out = min(
+                    _round8(-(-int(sizes[li]) // PACK)) + spec.r_pad,
+                    pad_rows)
+                tile = pl.BlockSpec(
+                    (1, 1, geo.block, cb),
+                    lambda l, ch, g, li=li: (ch * lb + li, g, 0, 0),
+                    memory_space=pltpu.VMEM)
+                grad_l = pl.pallas_call(
+                    functools.partial(_scatter_kernel, r_max=geo.r_max,
+                                      nblk=geo.nblk, lb=lb, off=li,
+                                      dual=True, cb=cb),
+                    grid=(1, geo.n_ch, geo.n_g),
+                    in_specs=[smem_o, smem_b, smem_b, smem_b,
+                              tile, tile, tile, tile, tile],
+                    out_specs=pl.BlockSpec(
+                        (1, rows_out, LANES),
+                        lambda l, ch, g: (l, 0, 0),
+                        memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (1, rows_out, LANES), jnp.float32),
+                    interpret=interpret,
+                )(offs32, b_full, b_slice, b_tail, skey_pk, sp0_pk,
+                  sp1_pk, g0_pk, g1_pk)
+                parts.append(jnp.pad(
+                    grad_l, ((0, 0), (0, pad_rows - rows_out), (0, 0))))
             continue
         tile = pl.BlockSpec(
             (1, 1, geo.block, cb),
@@ -649,10 +685,10 @@ def _bwd(spec: LatticeSpec, res, g):
             in_specs=[smem_o, smem_b, smem_b, smem_b,
                       tile, tile, tile, tile, tile],
             out_specs=pl.BlockSpec(
-                (1, spec.t_r64 + spec.r_pad, LANES),
+                (1, pad_rows, LANES),
                 lambda l, ch, g: (l, 0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
-                (lbp, spec.t_r64 + spec.r_pad, LANES), jnp.float32),
+                (lbp, pad_rows, LANES), jnp.float32),
             interpret=interpret,
         )(offs32, b_full, b_slice, b_tail, skey_pk, sp0_pk, sp1_pk,
           g0_pk, g1_pk)
