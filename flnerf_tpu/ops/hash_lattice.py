@@ -79,10 +79,10 @@ from flnerf_tpu.ops.sort_pallas import bitonic_sort
 
 LANES = 128
 PACK = 64           # table entries per 128-lane row (C=2 channels adjacent)
-POINT_CAP = 1 << 16  # points per chunk: position payload budget (16 bits)
+POINT_CAP = 1 << 17  # points per chunk: position payload budget (17 bits)
 R_CAP = 512          # slab-row ceiling (one-hot VMEM bound)
 F16 = (1 << 16) - 1  # fixed-point fraction scales in the sort payloads
-F15 = (1 << 15) - 1
+F14 = (1 << 14) - 1
 
 
 def _round8(x: int) -> int:
@@ -231,7 +231,8 @@ class _Geom(NamedTuple):
     block: int          # sorted entries per slab matmul this call
     nblk: int
     n_g: int
-    r_max: int          # slab rows (PACK-entry rows) per block
+    r_max: int          # DENSE levels' slab rows (dual head+tail slabs)
+    r_hash: int         # HASHED levels' slab rows (single slab, tight)
 
 
 def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
@@ -239,7 +240,16 @@ def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
     BLOCK of consecutive sorted REAL keys — expected span is
     block*t_r64/per rows for per uniform keys — so the block size shrinks
     with the call's real point density (padding cannot raise density: the
-    round-robin deal in _prep keeps every chunk's real count ~= per)."""
+    round-robin deal in _prep keeps every chunk's real count ~= per).
+
+    HASHED levels get a tight slab: distinct cells hash uniformly
+    regardless of the sample distribution (duplicates only SHRINK spans),
+    so a block's span is Gamma(block)-concentrated with std ~ span/
+    sqrt(block) — mean + 4 sigma + 24 alignment/carry rows covers it to
+    ~1e-6 per block (spill degrades gracefully to a dropped corner and
+    spill_fraction_lattice monitors it).  DENSE levels keep the wide 2x
+    slab + the dual tail slab: their keys are spatial, spans are
+    heavy-tailed under clustering."""
     n_ch = max(-(-n_points // POINT_CAP), 1)
     per = -(-n_points // n_ch)
     m_pad = 1 << max(per - 1, 127).bit_length()
@@ -254,13 +264,18 @@ def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
     mult = 2.0 if block >= 64 else 4.0
     r_max = min(spec.t_r64, spec.r_pad,
                 max(_round8(int(mult * span) + 24), 32))
+    r_hash = min(spec.t_r64, spec.r_pad,
+                 max(_round8(int(span + 4.0 * span / np.sqrt(block)) + 24),
+                     32))
+    if block < 64:
+        r_hash = r_max
     return _Geom(n_ch=n_ch, m_pad=m_pad, block=block, nblk=nblk,
-                 n_g=nblk // spec.cb, r_max=r_max)
+                 n_g=nblk // spec.cb, r_max=r_max, r_hash=r_hash)
 
 
 def _base_keys_payloads(x01, spec: LatticeSpec):
     """x01 [n_ch, m_pad, 3] -> keys [n_ch*Lb, m_pad] int32 base cell keys,
-    p0 = fx16<<16 | fy16, p1 = pos<<15 | fz15 (pos = in-chunk iota)."""
+    p0 = fx16<<16 | fy16, p1 = pos<<14 | fz14 (pos = in-chunk iota)."""
     big = spec.split.big
     scales = jnp.asarray(big.scales)[:, None, None]           # [Lb,1,1]
     pos = x01[:, None] * scales + 0.5                         # [ch,Lb,M,3]
@@ -283,10 +298,10 @@ def _base_keys_payloads(x01, spec: LatticeSpec):
     key = jnp.where(use_hash, hk, dk).astype(jnp.int32)       # [ch,Lb,M]
 
     fq = jnp.clip(jnp.round(frac * F16), 0, F16).astype(jnp.int32)
-    fz = jnp.clip(jnp.round(frac[..., 2] * F15), 0, F15).astype(jnp.int32)
+    fz = jnp.clip(jnp.round(frac[..., 2] * F14), 0, F14).astype(jnp.int32)
     p0 = jax.lax.shift_left(fq[..., 0], 16) | fq[..., 1]
     iota = jnp.arange(x01.shape[1], dtype=jnp.int32)[None, None]
-    p1 = jax.lax.shift_left(iota, 15) | fz
+    p1 = jax.lax.shift_left(iota, 14) | fz
     p1 = jnp.broadcast_to(p1, key.shape)
 
     n_ch, lb, m = key.shape
@@ -331,7 +346,7 @@ def _slab_bases(skey, spec: LatticeSpec, geo: _Geom):
 def _decode_cols(p0, p1):
     fx = jax.lax.shift_right_logical(p0, 16).astype(jnp.float32) * (1.0 / F16)
     fy = (p0 & F16).astype(jnp.float32) * (1.0 / F16)
-    fz = (p1 & F15).astype(jnp.float32) * (1.0 / F15)
+    fz = (p1 & F14).astype(jnp.float32) * (1.0 / F14)
     return fx, fy, fz
 
 
@@ -362,7 +377,6 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
     n_rows = (2 if dual else 1) * r_max
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_rows), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
 
     # The corner loop is a fori_loop (not a Python unroll): Mosaic stacks
     # unrolled bodies' temporaries CONCURRENTLY — the 4x8 fully-unrolled
@@ -397,12 +411,14 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                 oh, slab, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                # [BLOCK, 128]
+            # lane-wise hardware gather (tpu.dynamic_gather): ~5x cheaper
+            # than two masked [block, 128] reductions per corner
             lane = 2 * (a & (PACK - 1))
             w = _corner_w(fx, fy, fz, c)
-            f0 = jnp.sum(jnp.where(lane == lane_iota, rows, 0.0),
-                         axis=1, keepdims=True)
-            f1 = jnp.sum(jnp.where(lane + 1 == lane_iota, rows, 0.0),
-                         axis=1, keepdims=True)
+            f0 = jnp.take_along_axis(rows, lane, axis=1,
+                                     mode="promise_in_bounds")
+            f1 = jnp.take_along_axis(rows, lane + 1, axis=1,
+                                     mode="promise_in_bounds")
             return acc0 + w * f0, acc1 + w * f1
 
         acc0, acc1 = jax.lax.fori_loop(
@@ -449,9 +465,11 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
             rel = (a >> 6) - bfull_ref[bi + c]
             b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
             w = _corner_w(fx, fy, fz, c)
-            lane = 2 * (a & (PACK - 1))
-            v = (jnp.where(lane == lane_iota, w * g0, 0.0)
-                 + jnp.where(lane + 1 == lane_iota, w * g1, 0.0))
+            # one dynamic compare on entry pairs + a constant parity
+            # select instead of two full compares+selects+add
+            sel = (lane_iota >> 1) == (a & (PACK - 1))
+            even = (lane_iota & 1) == 0
+            v = jnp.where(sel, jnp.where(even, w * g0, w * g1), 0.0)
             if dual:
                 in_head = (rel >= 0) & (rel < r_max)
                 b_hi = pl.multiple_of(btail_ref[bi + c], 8)
@@ -559,7 +577,8 @@ def _fwd_impl(x01, table_big, spec: LatticeSpec):
         out_shape = jax.ShapeDtypeStruct(
             (geo.n_ch * lbp, geo.n_g, geo.block, cb), jnp.float32)
         f0, f1 = pl.pallas_call(
-            functools.partial(_fetch_kernel, r_max=geo.r_max,
+            functools.partial(_fetch_kernel,
+                              r_max=geo.r_max if dual else geo.r_hash,
                               nblk=geo.nblk, lb=lb, off=off, dual=dual,
                               cb=cb),
             grid=(lbp, geo.n_ch, geo.n_g),
@@ -583,7 +602,7 @@ def _fwd_impl(x01, table_big, spec: LatticeSpec):
     # unsort: key = saved position; spare payload returns the inverse perm
     bits = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
     flt = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    pos = jax.lax.shift_right_logical(sp1, 15)
+    pos = jax.lax.shift_right_logical(sp1, 14)
     iota = jnp.broadcast_to(
         jnp.arange(geo.m_pad, dtype=jnp.int32)[None], pos.shape)
     _, f0o, f1o, inv = bitonic_sort(pos, bits(f0s), bits(f1s), iota)
@@ -678,7 +697,8 @@ def _bwd(spec: LatticeSpec, res, g):
             lambda l, ch, g, off=off: (ch * lb + l + off, g, 0, 0),
             memory_space=pltpu.VMEM)
         grad_p = pl.pallas_call(
-            functools.partial(_scatter_kernel, r_max=geo.r_max,
+            functools.partial(_scatter_kernel,
+                              r_max=geo.r_max if dual else geo.r_hash,
                               nblk=geo.nblk, lb=lb, off=off, dual=dual,
                               cb=cb),
             grid=(lbp, geo.n_ch, geo.n_g),
@@ -761,13 +781,14 @@ def spill_fraction_lattice(x01, spec: LatticeSpec) -> jnp.ndarray:
     bf = b_full.reshape(rows, geo.nblk, 1, 8)
     bt = b_tail.reshape(rows, geo.nblk, 1, 8)
     rel = arow - bf
-    in_head = (rel >= 0) & (rel < geo.r_max)
     dual = ~jnp.tile(jnp.asarray(spec.split.big.use_hash),
                      n_ch)[:, None, None, None]
+    r_eff = jnp.where(dual, geo.r_max, geo.r_hash)
+    in_head = (rel >= 0) & (rel < r_eff)
     rel_t = arow - bt
     in_tail = dual & (rel_t >= 0) & (rel_t < geo.r_max)
     # mask pad entries: chunk c position p is real iff p*n_ch + c < n
-    pos = jax.lax.shift_right_logical(sp1, 15)
+    pos = jax.lax.shift_right_logical(sp1, 14)
     ch = (jnp.arange(rows, dtype=jnp.int32) // lb)[:, None]
     real = (pos * n_ch + ch < n).reshape(rows, geo.nblk, geo.block, 1)
     ok = (in_head | in_tail) | ~real

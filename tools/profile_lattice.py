@@ -81,10 +81,11 @@ def main():
     if not which or "smoke" in which:
         smoke()
     if not which or "sweep" in which:
-        for block in (1024, 512, 256):
+        for block in (1024, 512):
             sweep(block, 65536, fwd_only=True)
             sweep(block, 65536)
         sweep(1024, 16384)
+        sweep(1024, 131072)   # single-chunk at the widened POINT_CAP
 
 
 if __name__ == "__main__":
