@@ -173,7 +173,7 @@ def bench_plenoxels_kernel():
          n_reps=iters, spread_pct=spread)
 
 
-def _ngp_trainer(log2=19, synth_h=64):
+def _ngp_trainer(log2=19, synth_h=64, engine="auto", batch_rays=4096):
     import jax.numpy as jnp
 
     from flnerf_tpu.data.synthetic import load_synthetic_data
@@ -190,14 +190,14 @@ def _ngp_trainer(log2=19, synth_h=64):
     K = intrinsics_matrix(H, W, focal)
     tr = i_split[0]
 
-    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2)
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2, hash_engine=engine)
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, jnp.bfloat16)
     # n_keep=16 ~ torch-ngp's converged mean_count; K=16 also reaches
     # higher psnr than K=32 at equal steps on this scene (DESIGN.md)
     rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
                            bound=1.5)
-    tcfg = NGPTrainConfig(max_steps=48, batch_rays=4096, steps_per_chunk=16,
-                          full_refreshes=2)
+    tcfg = NGPTrainConfig(max_steps=48, batch_rays=batch_rays,
+                          steps_per_chunk=16, full_refreshes=2)
     t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
     sampler = NGPSampler(images[tr], poses[tr], K, tcfg)
     return t, sampler, tcfg
@@ -218,7 +218,7 @@ def bench_ngp():
     dt, spread = _rep_stats(
         lambda i: t.fit(sampler, verbose=False, n_steps=32),
         reps, lambda _: jax.block_until_ready(t.state.params["sigma_net"]))
-    rps = reps * 32 * 4096 / dt / max(len(jax.devices()), 1)
+    rps = reps * 32 * tcfg.batch_rays / dt / max(len(jax.devices()), 1)
     emit("ngp_train_rays_per_sec_per_chip", rps, "rays/s/chip",
          rps / 397312.0,
          baseline="external: torch-ngp -O lego 97 it/s x 4096 rays on "

@@ -155,7 +155,7 @@ def make_lattice_spec(
     log2_hashmap_size: int = 19,
     desired_resolution: int = 2048,
     split_min_size: int = 1 << 15,
-    block: int = 1024,
+    block: int = 512,
     cb: int = 4,
 ) -> LatticeSpec:
     split = make_split_spec(
@@ -377,6 +377,8 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
     n_rows = (2 if dual else 1) * r_max
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_rows), 1)
+    # lane parity: even lanes gather channel 0, odd lanes channel 1
+    par = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1) & 1
 
     # The corner loop is a fori_loop (not a Python unroll): Mosaic stacks
     # unrolled bodies' temporaries CONCURRENTLY — the 4x8 fully-unrolled
@@ -390,8 +392,7 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
         p1 = sp1_ref[0, 0, :, j:j + 1]
         fx, fy, fz = _decode_cols(p0, p1)
 
-        def c_body(c, accs):
-            acc0, acc1 = accs
+        def c_body(c, acc):
             a = s + offs_ref[(l + off) * 8 + c]
             rel = (a >> 6) - bfull_ref[bi + c]
             b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
@@ -411,21 +412,20 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                 oh, slab, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                # [BLOCK, 128]
-            # lane-wise hardware gather (tpu.dynamic_gather): ~5x cheaper
-            # than two masked [block, 128] reductions per corner
+            # ONE lane-wise hardware gather per corner (tpu.dynamic_gather;
+            # Mosaic wants full-width indices): even lanes read the
+            # entry's channel-0 lane, odd lanes channel 1, so the final
+            # per-channel extraction is a free static lane slice.
             lane = 2 * (a & (PACK - 1))
             w = _corner_w(fx, fy, fz, c)
-            f0 = jnp.take_along_axis(rows, lane, axis=1,
-                                     mode="promise_in_bounds")
-            f1 = jnp.take_along_axis(rows, lane + 1, axis=1,
-                                     mode="promise_in_bounds")
-            return acc0 + w * f0, acc1 + w * f1
+            g = jnp.take_along_axis(rows, lane + par, axis=1,
+                                    mode="promise_in_bounds")
+            return acc + w * g
 
-        acc0, acc1 = jax.lax.fori_loop(
-            0, 8, c_body, (jnp.zeros((width, 1), jnp.float32),
-                           jnp.zeros((width, 1), jnp.float32)))
-        out0_ref[0, 0, :, j] = acc0[:, 0]
-        out1_ref[0, 0, :, j] = acc1[:, 0]
+        acc = jax.lax.fori_loop(
+            0, 8, c_body, jnp.zeros((width, LANES), jnp.float32))
+        out0_ref[0, 0, :, j] = acc[:, 0]
+        out1_ref[0, 0, :, j] = acc[:, 1]
 
 
 def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,

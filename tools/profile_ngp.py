@@ -135,21 +135,21 @@ def p_matmul(log2=15, n_pts=16384):
     print(f"matmul{log2}_fwdbwd_{n_pts}pts: {ms:.2f} ms", flush=True)
 
 
-def _field(log2=15):
+def _field(log2=15, engine="auto"):
     from flnerf_tpu.models.hash_ngp import NGPConfig, make_ngp_field
 
-    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2)
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2, hash_engine=engine)
     return cfg, make_ngp_field(cfg, jnp.bfloat16)
 
 
-def p_step(log2=15, n_rays=4096):
+def p_step(log2=15, n_rays=4096, engine="auto"):
     """Full render fwd+bwd at bench shapes (no optimizer/occ update)."""
     from flnerf_tpu.models.hash_ngp import init_ngp
     from flnerf_tpu.render.ngp import (
         NGPRenderConfig, init_occupancy, ngp_render_rays,
     )
 
-    cfg, (init_fn, density_fn, rgb_fn) = _field(log2)
+    cfg, (init_fn, density_fn, rgb_fn) = _field(log2, engine)
     rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
                            bound=1.5)
     params = init_fn(jax.random.PRNGKey(0))
@@ -175,7 +175,8 @@ def p_step(log2=15, n_rays=4096):
         return jax.tree_util.tree_map(lambda a, b: a + 1e-9 * b, params, g)
 
     ms = slope_ms(scan_chain(step), params)
-    print(f"render_fwdbwd_log2={log2}_{n_rays}rays: {ms:.2f} ms", flush=True)
+    print(f"render_fwdbwd_log2={log2}_{n_rays}rays_{engine}: {ms:.2f} ms",
+          flush=True)
 
 
 def p_march(n_rays=4096):
@@ -258,7 +259,10 @@ ALL = {
     "engine15_c2k": lambda: p_engine(15, 16384, 2048),
     "matmul15": lambda: p_matmul(15, 16384),
     "step15": lambda: p_step(15),
+    "step19_lattice": lambda: p_step(19, 4096, engine="lattice"),
+    "step19_lattice8k": lambda: p_step(19, 8192, engine="lattice"),
     "march": lambda: p_march(),
+    "march8k": lambda: p_march(8192),
     "mlp": lambda: p_mlp(),
 }
 
