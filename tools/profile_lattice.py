@@ -76,6 +76,36 @@ def sweep(block, n, fwd_only=False):
               f"r={geo.r_max}): {ms:.2f} ms", flush=True)
 
 
+def split_small(n=65536):
+    """Small-levels cost inside the split encode: split(full) - big-only."""
+    from flnerf_tpu.ops.hash_lattice import (
+        init_lattice_tables, lattice_encode, lattice_encode_split,
+        make_lattice_spec)
+
+    spec = make_lattice_spec(log2_hashmap_size=19)
+    ts, tb = init_lattice_tables(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+
+    def mk(full):
+        def step(c, i):
+            x, ts, tb = c
+            if full:
+                def loss(ts, tb):
+                    return jnp.sum(
+                        lattice_encode_split(x, (ts, tb), spec) ** 2)
+                gs, gb = jax.grad(loss, argnums=(0, 1))(ts, tb)
+                return (x, ts + gs * 1e-9, tb + gb * 1e-9)
+            g = jax.grad(
+                lambda tb: jnp.sum(lattice_encode(x, tb, spec) ** 2))(tb)
+            return (x, ts, tb + g * 1e-9)
+        return step
+
+    ms_full = slope_ms(scan_chain(mk(True)), (x, ts, tb))
+    ms_big = slope_ms(scan_chain(mk(False)), (x, ts, tb))
+    print(f"split_full n={n}: {ms_full:.2f} ms; big-only {ms_big:.2f}; "
+          f"small-levels cost {ms_full - ms_big:.2f} ms", flush=True)
+
+
 def main():
     which = set(sys.argv[1:])
     if not which or "smoke" in which:
@@ -86,6 +116,8 @@ def main():
             sweep(block, 65536)
         sweep(1024, 16384)
         sweep(1024, 131072)   # single-chunk at the widened POINT_CAP
+    if "split" in which:
+        split_small()
 
 
 if __name__ == "__main__":
