@@ -392,38 +392,44 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
         p1 = sp1_ref[0, 0, :, j:j + 1]
         fx, fy, fz = _decode_cols(p0, p1)
 
-        def c_body(c, acc):
-            a = s + offs_ref[(l + off) * 8 + c]
-            rel = (a >> 6) - bfull_ref[bi + c]
-            b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
-            if dual:
-                in_head = (rel >= 0) & (rel < r_max)
-                b_hi = pl.multiple_of(btail_ref[bi + c], 8)
-                rel_t = (a >> 6) - b_hi
-                pos_row = jnp.where(in_head, rel, rel_t + r_max)
-                oh = (pos_row == row_iota).astype(jnp.bfloat16)
-                slab = jnp.concatenate(
-                    [table_ref[0, pl.ds(b_lo, r_max), :],
-                     table_ref[0, pl.ds(b_hi, r_max), :]], axis=0)
-            else:
-                oh = (rel == row_iota).astype(jnp.bfloat16)
-                slab = table_ref[0, pl.ds(b_lo, r_max), :]
-            rows = jax.lax.dot_general(
-                oh, slab, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                # [BLOCK, 128]
-            # ONE lane-wise hardware gather per corner (tpu.dynamic_gather;
-            # Mosaic wants full-width indices): even lanes read the
-            # entry's channel-0 lane, odd lanes channel 1, so the final
-            # per-channel extraction is a free static lane slice.
-            lane = 2 * (a & (PACK - 1))
-            w = _corner_w(fx, fy, fz, c)
-            g = jnp.take_along_axis(rows, lane + par, axis=1,
-                                    mode="promise_in_bounds")
-            return acc + w * g
+        def c_body(c2, acc):
+            # 2 corners per fori iteration: gives Mosaic a window to
+            # overlap the next dot's weight load with the current drain
+            # (~0.2 us MXU fill per dot) at ~2 live temp sets of stack
+            for dc in range(2):
+                c = c2 * 2 + dc
+                a = s + offs_ref[(l + off) * 8 + c]
+                rel = (a >> 6) - bfull_ref[bi + c]
+                b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
+                if dual:
+                    in_head = (rel >= 0) & (rel < r_max)
+                    b_hi = pl.multiple_of(btail_ref[bi + c], 8)
+                    rel_t = (a >> 6) - b_hi
+                    pos_row = jnp.where(in_head, rel, rel_t + r_max)
+                    oh = (pos_row == row_iota).astype(jnp.bfloat16)
+                    slab = jnp.concatenate(
+                        [table_ref[0, pl.ds(b_lo, r_max), :],
+                         table_ref[0, pl.ds(b_hi, r_max), :]], axis=0)
+                else:
+                    oh = (rel == row_iota).astype(jnp.bfloat16)
+                    slab = table_ref[0, pl.ds(b_lo, r_max), :]
+                rows = jax.lax.dot_general(
+                    oh, slab, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                            # [BLOCK, 128]
+                # ONE lane-wise hardware gather per corner (Mosaic wants
+                # full-width indices): even lanes read the entry's
+                # channel-0 lane, odd lanes channel 1, so the final
+                # per-channel extraction is a free static lane slice.
+                lane = 2 * (a & (PACK - 1))
+                w = _corner_w(fx, fy, fz, c)
+                g = jnp.take_along_axis(rows, lane + par, axis=1,
+                                        mode="promise_in_bounds")
+                acc = acc + w * g
+            return acc
 
         acc = jax.lax.fori_loop(
-            0, 8, c_body, jnp.zeros((width, LANES), jnp.float32))
+            0, 4, c_body, jnp.zeros((width, LANES), jnp.float32))
         out0_ref[0, 0, :, j] = acc[:, 0]
         out1_ref[0, 0, :, j] = acc[:, 1]
 
@@ -460,37 +466,40 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
         g0 = g0_ref[0, 0, :, j:j + 1]
         g1 = g1_ref[0, 0, :, j:j + 1]
 
-        def c_body(c, carry):
-            a = s + offs_ref[(l + off) * 8 + c]
-            rel = (a >> 6) - bfull_ref[bi + c]
-            b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
-            w = _corner_w(fx, fy, fz, c)
-            # one dynamic compare on entry pairs + a constant parity
-            # select instead of two full compares+selects+add
-            sel = (lane_iota >> 1) == (a & (PACK - 1))
-            even = (lane_iota & 1) == 0
-            v = jnp.where(sel, jnp.where(even, w * g0, w * g1), 0.0)
-            if dual:
-                in_head = (rel >= 0) & (rel < r_max)
-                b_hi = pl.multiple_of(btail_ref[bi + c], 8)
-                rel_t = (a >> 6) - b_hi
-                pos_row = jnp.where(in_head, rel, rel_t + r_max)
-                oh = (pos_row == row_iota).astype(jnp.bfloat16)
-            else:
-                oh = (rel == row_iota).astype(jnp.bfloat16)
-            gl = jax.lax.dot_general(
-                oh, v.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # [n_rows, 128]
-            cur = grad_ref[0, pl.ds(b_lo, r_max), :]
-            grad_ref[0, pl.ds(b_lo, r_max), :] = cur + gl[:r_max]
-            if dual:
-                cur2 = grad_ref[0, pl.ds(b_hi, r_max), :]
-                grad_ref[0, pl.ds(b_hi, r_max), :] = cur2 + gl[r_max:]
+        def c_body(c2, carry):
+            # 2 corners per fori iteration (see _fetch_kernel)
+            for dc in range(2):
+                c = c2 * 2 + dc
+                a = s + offs_ref[(l + off) * 8 + c]
+                rel = (a >> 6) - bfull_ref[bi + c]
+                b_lo = pl.multiple_of(bslice_ref[bi + c], 8)
+                w = _corner_w(fx, fy, fz, c)
+                # one dynamic compare on entry pairs + a constant parity
+                # select instead of two full compares+selects+add
+                sel = (lane_iota >> 1) == (a & (PACK - 1))
+                even = (lane_iota & 1) == 0
+                v = jnp.where(sel, jnp.where(even, w * g0, w * g1), 0.0)
+                if dual:
+                    in_head = (rel >= 0) & (rel < r_max)
+                    b_hi = pl.multiple_of(btail_ref[bi + c], 8)
+                    rel_t = (a >> 6) - b_hi
+                    pos_row = jnp.where(in_head, rel, rel_t + r_max)
+                    oh = (pos_row == row_iota).astype(jnp.bfloat16)
+                else:
+                    oh = (rel == row_iota).astype(jnp.bfloat16)
+                gl = jax.lax.dot_general(
+                    oh, v.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                    # [n_rows, 128]
+                cur = grad_ref[0, pl.ds(b_lo, r_max), :]
+                grad_ref[0, pl.ds(b_lo, r_max), :] = cur + gl[:r_max]
+                if dual:
+                    cur2 = grad_ref[0, pl.ds(b_hi, r_max), :]
+                    grad_ref[0, pl.ds(b_hi, r_max), :] = cur2 + gl[r_max:]
             return carry
 
-        jax.lax.fori_loop(0, 8, c_body, 0)
+        jax.lax.fori_loop(0, 4, c_body, 0)
 
 
 # ---------------------------------------------------------------------------
