@@ -309,6 +309,52 @@ def bench_hash_capacity():
          baseline="SELF-multiple: the full-matmul path extrapolated to "
          "2^19 (~146 ms; linear in table rows from measured 2^15)",
          n_reps=2, spread_pct=spread)
+    bench_hash_lattice()
+
+
+def bench_hash_lattice():
+    """Lattice-hash engine (v4, ops/hash_lattice.py) at 2^19, fwd+bwd,
+    the NGP step's 65k-point shape, same slope method."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.ops.hash_lattice import (
+        init_lattice_tables, lattice_encode_split, make_lattice_spec,
+    )
+
+    spec = make_lattice_spec(log2_hashmap_size=19)
+    tables = init_lattice_tables(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (65536, 3))
+
+    def mk(reps):
+        @jax.jit
+        def f(tables):
+            def loss(tb):
+                return jnp.sum(lattice_encode_split(x, tb, spec) ** 2)
+
+            def body(c, _):
+                g = jax.grad(loss)(c)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a + 1e-9 * b, c, g), ()
+
+            c, _ = jax.lax.scan(body, tables, None, length=reps)
+            return c
+        return f
+
+    r1, r2 = mk(4), mk(24)
+    sync = lambda o: float(o[1].ravel()[0])
+    sync(r1(tables)); sync(r2(tables))
+    ts = []
+    for r in (r1, r2, r1, r2):
+        t0 = _t.perf_counter(); sync(r(tables)); ts.append(_t.perf_counter() - t0)
+    ms = (min(ts[1], ts[3]) - min(ts[0], ts[2])) / 20 * 1e3
+    spread = 100.0 * abs(ts[3] - ts[1]) / max(ts[1], 1e-9)
+    emit("ngp_hash19_lattice_fwd_bwd_65kpts_ms", ms, "ms", 49.3 / ms,
+         baseline="SELF-multiple: v3 sorted-block engine at the same "
+         "65k-point step shape (49.3 ms, round-3 measurement)",
+         n_reps=2, spread_pct=spread)
 
 
 def bench_time_to_psnr():

@@ -94,12 +94,18 @@ def _round8(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def _pick_multipliers(t: int, n_levels: int, radius: int = 40,
-                      n_cand: int = 24, seed: int = 7):
+def _pick_multipliers(t: int, n_levels: int, radius: int = 96,
+                      n_cand: int = 96, seed: int = 7):
     """[n_levels, 3] odd multipliers mod t, each scored by the shortest
     nonzero |D| with D.P == 0 (mod t) inside a |D|_inf <= radius ball
     (exact, vectorized).  Candidates with no alias inside the ball score
-    radius+1 (the expected shortest vector for random P is ~t^(1/3))."""
+    radius+1.  The Minkowski bound for a 3-D sublattice of index t is
+    ~t^(1/3) (~80 cells at 2^19): radius must EXCEED it or candidates
+    tie at the ball edge and the picks are effectively the first ones
+    sampled — measured on the freq-40 scene, tie-broken radius-40 picks
+    cost PSNR vs near-bound picks (coherent sublattice aliases are the
+    lattice hash's failure mode, so maximizing the shortest alias
+    distance is the one knob)."""
     rng = np.random.default_rng(seed)
     ax = np.arange(-radius, radius + 1, dtype=np.int64)
     dx, dy, dz = np.meshgrid(ax, ax, ax, indexing="ij")
