@@ -237,8 +237,9 @@ class _Geom(NamedTuple):
     block: int          # sorted entries per slab matmul this call
     nblk: int
     n_g: int
-    r_max: int          # DENSE levels' slab rows (dual head+tail slabs)
+    r_max: int          # largest dense slab (b_tail clamp compat)
     r_hash: int         # HASHED levels' slab rows (single slab, tight)
+    r_dense: tuple      # PER-LEVEL dense slab rows (dual head+tail slabs)
 
 
 def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
@@ -254,7 +255,9 @@ def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
     sqrt(block) — mean + 4 sigma + 24 alignment/carry rows covers it to
     ~1e-6 per block (spill degrades gracefully to a dropped corner and
     spill_fraction_lattice monitors it).  DENSE levels keep the wide 2x
-    slab + the dual tail slab: their keys are spatial, spans are
+    slab + the dual tail slab, sized PER LEVEL from that level's OWN row
+    count (a 32^3 level is 512 rows — sizing its slab for the shared
+    8192-row cap wastes ~5x the MACs): their keys are spatial, spans are
     heavy-tailed under clustering."""
     n_ch = max(-(-n_points // POINT_CAP), 1)
     per = -(-n_points // n_ch)
@@ -268,15 +271,26 @@ def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
     # tiny blocks see heavy-tailed per-block spans (few keys): widen the
     # slab margin there — the extra MACs are negligible at those sizes
     mult = 2.0 if block >= 64 else 4.0
-    r_max = min(spec.t_r64, spec.r_pad,
-                max(_round8(int(mult * span) + 24), 32))
     r_hash = min(spec.t_r64, spec.r_pad,
                  max(_round8(int(span + 4.0 * span / np.sqrt(block)) + 24),
                      32))
+    big = spec.split.big
+    r_dense = []
+    for li in range(spec.n_big):
+        if big.use_hash[li]:
+            r_dense.append(0)
+            continue
+        rows_l = -(-int(big.sizes[li]) // PACK)
+        span_l = block * rows_l / per
+        r_dense.append(min(_round8(rows_l), spec.r_pad,
+                           max(_round8(int(mult * span_l) + 24), 32)))
+    r_max = max(r_dense) if any(r_dense) else 32
     if block < 64:
-        r_hash = r_max
+        r_hash = min(spec.t_r64, spec.r_pad,
+                     max(_round8(int(mult * span) + 24), 32))
     return _Geom(n_ch=n_ch, m_pad=m_pad, block=block, nblk=nblk,
-                 n_g=nblk // spec.cb, r_max=r_max, r_hash=r_hash)
+                 n_g=nblk // spec.cb, r_max=r_max, r_hash=r_hash,
+                 r_dense=tuple(r_dense))
 
 
 def _base_keys_payloads(x01, spec: LatticeSpec):
@@ -339,8 +353,12 @@ def _slab_bases(skey, spec: LatticeSpec, geo: _Geom):
 
     b_full = ((first[..., None] + offs_r) >> 6) & ~jnp.int32(7)
     b_slice = jnp.where(b_full >= t_rows, b_full - t_rows, b_full)
+    # tail slab anchored at the block END, per-level slab rows (dense)
+    r_lvl = jnp.asarray(np.tile(
+        np.where(big.use_hash, geo.r_hash, geo.r_dense), n_ch
+    ).astype(np.int32))[:, None, None]
     b_tail = ((last[..., None] + offs_r) >> 6) & ~jnp.int32(7)
-    b_tail = jnp.maximum(b_tail - geo.r_max + 8, 0)
+    b_tail = jnp.maximum(b_tail - r_lvl + 8, 0)
     to32 = lambda a: a.reshape(-1)
     return to32(b_full), to32(b_slice), to32(b_tail)
 
@@ -581,33 +599,40 @@ def _fwd_impl(x01, table_big, spec: LatticeSpec):
     for off, lbp, dual in _level_ranges(spec):
         if lbp == 0:
             continue
-        tile = pl.BlockSpec(
-            (1, 1, geo.block, cb),
-            lambda l, ch, g, off=off: (ch * lb + l + off, g, 0, 0),
-            memory_space=pltpu.VMEM)
-        out_tile = pl.BlockSpec(
-            (1, 1, geo.block, cb),
-            lambda l, ch, g, lbp=lbp: (ch * lbp + l, g, 0, 0),
-            memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct(
-            (geo.n_ch * lbp, geo.n_g, geo.block, cb), jnp.float32)
-        f0, f1 = pl.pallas_call(
-            functools.partial(_fetch_kernel,
-                              r_max=geo.r_max if dual else geo.r_hash,
-                              nblk=geo.nblk, lb=lb, off=off, dual=dual,
-                              cb=cb),
-            grid=(lbp, geo.n_ch, geo.n_g),
-            in_specs=[
-                smem_o, smem_b, smem_b, smem_b, tile, tile, tile,
-                pl.BlockSpec((1, spec.t_r64 + spec.r_pad, LANES),
-                             lambda l, ch, g, off=off: (l + off, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(out_tile, out_tile),
-            out_shape=(out_shape, out_shape),
-            interpret=interpret,
-        )(offs32, b_full, b_slice, b_tail, skey_pk, sp0_pk, sp1_pk, tpad)
-        parts.append((_unpack_cols(f0), _unpack_cols(f1)))
+        # dense levels go ONE CALL PER LEVEL so each gets a slab sized to
+        # its own row count (a shared static r would be the largest's)
+        sub = [(li, 1) for li in range(off, off + lbp)] if dual \
+            else [(off, lbp)]
+        for soff, slbp in sub:
+            tile = pl.BlockSpec(
+                (1, 1, geo.block, cb),
+                lambda l, ch, g, soff=soff: (ch * lb + l + soff, g, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_tile = pl.BlockSpec(
+                (1, 1, geo.block, cb),
+                lambda l, ch, g, slbp=slbp: (ch * slbp + l, g, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct(
+                (geo.n_ch * slbp, geo.n_g, geo.block, cb), jnp.float32)
+            f0, f1 = pl.pallas_call(
+                functools.partial(
+                    _fetch_kernel,
+                    r_max=geo.r_dense[soff] if dual else geo.r_hash,
+                    nblk=geo.nblk, lb=lb, off=soff, dual=dual, cb=cb),
+                grid=(slbp, geo.n_ch, geo.n_g),
+                in_specs=[
+                    smem_o, smem_b, smem_b, smem_b, tile, tile, tile,
+                    pl.BlockSpec((1, spec.t_r64 + spec.r_pad, LANES),
+                                 lambda l, ch, g, soff=soff:
+                                 (l + soff, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(out_tile, out_tile),
+                out_shape=(out_shape, out_shape),
+                interpret=interpret,
+            )(offs32, b_full, b_slice, b_tail, skey_pk, sp0_pk, sp1_pk,
+              tpad)
+            parts.append((_unpack_cols(f0), _unpack_cols(f1)))
 
     cat = lambda i: jnp.concatenate(
         [p[i].reshape(geo.n_ch, -1, geo.m_pad) for p in parts], axis=1
@@ -689,7 +714,8 @@ def _bwd(spec: LatticeSpec, res, g):
                     lambda l, ch, g, li=li: (ch * lb + li, g, 0, 0),
                     memory_space=pltpu.VMEM)
                 grad_l = pl.pallas_call(
-                    functools.partial(_scatter_kernel, r_max=geo.r_max,
+                    functools.partial(_scatter_kernel,
+                                      r_max=geo.r_dense[li],
                                       nblk=geo.nblk, lb=lb, off=li,
                                       dual=True, cb=cb),
                     grid=(1, geo.n_ch, geo.n_g),
@@ -796,12 +822,14 @@ def spill_fraction_lattice(x01, spec: LatticeSpec) -> jnp.ndarray:
     bf = b_full.reshape(rows, geo.nblk, 1, 8)
     bt = b_tail.reshape(rows, geo.nblk, 1, 8)
     rel = arow - bf
-    dual = ~jnp.tile(jnp.asarray(spec.split.big.use_hash),
-                     n_ch)[:, None, None, None]
-    r_eff = jnp.where(dual, geo.r_max, geo.r_hash)
+    uh = spec.split.big.use_hash
+    dual = ~jnp.tile(jnp.asarray(uh), n_ch)[:, None, None, None]
+    r_eff = jnp.asarray(np.tile(
+        np.where(uh, geo.r_hash, geo.r_dense), n_ch
+    ).astype(np.int32))[:, None, None, None]
     in_head = (rel >= 0) & (rel < r_eff)
     rel_t = arow - bt
-    in_tail = dual & (rel_t >= 0) & (rel_t < geo.r_max)
+    in_tail = dual & (rel_t >= 0) & (rel_t < r_eff)
     # mask pad entries: chunk c position p is real iff p*n_ch + c < n
     pos = jax.lax.shift_right_logical(sp1, 14)
     ch = (jnp.arange(rows, dtype=jnp.int32) // lb)[:, None]

@@ -66,10 +66,21 @@ def main(argv=None):
     p.add_argument("--h", type=int, default=64)
     p.add_argument("--texture_freq", type=int, default=40)
     p.add_argument("--out", default="LATTICE_quality.json")
+    p.add_argument("--engines", default="sorted,lattice",
+                   help="comma list; a missing arm is reused from --out")
     a = p.parse_args(argv)
 
+    prev = {}
+    if os.path.exists(a.out):
+        with open(a.out) as f:
+            prev = {r["engine"]: r for r in json.load(f).get("runs", [])}
     runs = []
     for engine in ("sorted", "lattice"):
+        if engine not in a.engines.split(","):
+            assert engine in prev, f"no cached {engine} arm in {a.out}"
+            runs.append(prev[engine])
+            print(f"=== {engine} (cached)", flush=True)
+            continue
         print(f"=== {engine}", flush=True)
         r = run(engine, a.steps, a.h, a.texture_freq)
         print(r, flush=True)
