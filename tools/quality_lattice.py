@@ -23,7 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(engine: str, steps: int, H: int, texture_freq: int, seed: int = 0):
+def run(engine: str, steps: int, H: int, texture_freq: int, seed: int = 0,
+        log2: int = 19, batch_rays: int = 4096, n_train: int = 16,
+        n_keep: int = 16, n_candidates: int = 128):
     import jax.numpy as jnp
 
     from flnerf_tpu.data.synthetic import load_synthetic_data
@@ -35,16 +37,16 @@ def run(engine: str, steps: int, H: int, texture_freq: int, seed: int = 0):
     )
 
     images, poses, rp, hwf, i_split = load_synthetic_data(
-        n_train=16, n_test=2, H=H, W=H, texture_freq=texture_freq)
+        n_train=n_train, n_test=2, H=H, W=H, texture_freq=texture_freq)
     Hh, W, focal = hwf
     K = intrinsics_matrix(Hh, W, focal)
     tr, te = i_split[0], i_split[2]
 
-    cfg = NGPConfig(bound=1.5, log2_hashmap_size=19, hash_engine=engine)
+    cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2, hash_engine=engine)
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, jnp.bfloat16)
-    rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
-                           bound=1.5)
-    tcfg = NGPTrainConfig(max_steps=steps, batch_rays=4096,
+    rcfg = NGPRenderConfig(n_candidates=n_candidates, n_keep=n_keep,
+                           grid_size=128, bound=1.5)
+    tcfg = NGPTrainConfig(max_steps=steps, batch_rays=batch_rays,
                           steps_per_chunk=16, full_refreshes=4, seed=seed)
     t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
     sampler = NGPSampler(images[tr], poses[tr], K, tcfg, seed=seed)
@@ -68,7 +70,19 @@ def main(argv=None):
     p.add_argument("--out", default="LATTICE_quality.json")
     p.add_argument("--engines", default="sorted,lattice",
                    help="comma list; a missing arm is reused from --out")
+    p.add_argument("--log2", type=int, default=19)
+    p.add_argument("--batch_rays", type=int, default=4096)
+    p.add_argument("--n_train", type=int, default=16)
+    p.add_argument("--n_keep", type=int, default=16)
+    p.add_argument("--n_candidates", type=int, default=128)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (XLA oracle paths) — for "
+                   "small-capacity hash-semantics studies while the TPU "
+                   "pool is unavailable")
     a = p.parse_args(argv)
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     prev = {}
     if os.path.exists(a.out):
@@ -82,7 +96,9 @@ def main(argv=None):
             print(f"=== {engine} (cached)", flush=True)
             continue
         print(f"=== {engine}", flush=True)
-        r = run(engine, a.steps, a.h, a.texture_freq)
+        r = run(engine, a.steps, a.h, a.texture_freq, log2=a.log2,
+                batch_rays=a.batch_rays, n_train=a.n_train,
+                n_keep=a.n_keep, n_candidates=a.n_candidates)
         print(r, flush=True)
         runs.append(r)
     delta = runs[1]["trainview_psnr"] - runs[0]["trainview_psnr"]
