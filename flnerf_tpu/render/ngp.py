@@ -49,6 +49,10 @@ class NGPRenderConfig(NamedTuple):
     # [near, far], which realizes dt proportional to t at the effective
     # gamma log(far/near)/S the static candidate budget affords.
     dt_gamma: float = 0.0
+    # candidate->keep compaction: 'argsort' (stable [N,S] argsort) or
+    # 'onehot' (cumsum ranks + two [N,K,S] one-hot contractions — no
+    # sort network; same output, measured A/B in tools/r3_batch.py)
+    compaction: str = "argsort"
 
 
 class OccupancyState(NamedTuple):
@@ -331,10 +335,27 @@ def ngp_render_rays(
     xyz = jnp.clip(xyz, -cfg.bound, cfg.bound)
     occ_mask = occupancy_lookup(occ, xyz, cfg) & hit[:, None]  # [N, S]
 
-    # Stable sort moves occupied candidates (already depth-ordered) first.
-    order = jnp.argsort(jnp.logical_not(occ_mask), axis=-1, stable=True)[:, :K]
-    zk = jnp.take_along_axis(z, order, axis=-1)                      # [N, K]
-    mk = jnp.take_along_axis(occ_mask, order, axis=-1)               # [N, K]
+    # Compaction: move occupied candidates (already depth-ordered) first.
+    if cfg.compaction == "onehot":
+        # Rank arithmetic instead of a sort network: occupied slot s goes
+        # to position cumsum(m)[s]-1, unoccupied to n_occ + cumsum(!m)-1
+        # (exactly the stable-argsort order).  zk is then a [K]x[S]
+        # one-hot contraction per ray that fuses with the compare — no
+        # O(S log^2 S) sorting, and mk is just k < n_occ.
+        mf = occ_mask.astype(jnp.float32)
+        c_occ = jnp.cumsum(mf, axis=-1)                       # [N, S]
+        n_occ = c_occ[:, -1:]
+        c_un = jnp.cumsum(1.0 - mf, axis=-1)
+        dest = jnp.where(occ_mask, c_occ - 1.0, n_occ + c_un - 1.0)
+        kidx = jnp.arange(K, dtype=jnp.float32)
+        sel = (dest[:, None, :] == kidx[None, :, None])       # [N, K, S]
+        zk = jnp.sum(jnp.where(sel, z[:, None, :], 0.0), -1)  # [N, K]
+        mk = kidx[None, :] < n_occ                            # [N, K]
+    else:
+        order = jnp.argsort(jnp.logical_not(occ_mask), axis=-1,
+                            stable=True)[:, :K]
+        zk = jnp.take_along_axis(z, order, axis=-1)               # [N, K]
+        mk = jnp.take_along_axis(occ_mask, order, axis=-1)        # [N, K]
     xyzk = rays_o[:, None, :] + rays_d[:, None, :] * zk[..., None]
     xyzk = jnp.clip(xyzk, -cfg.bound, cfg.bound)
 

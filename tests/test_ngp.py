@@ -122,6 +122,42 @@ def test_ngp_render_analytic_sphere():
     np.testing.assert_allclose(np.asarray(out_miss["rgb"]), 0.0, atol=1e-5)
 
 
+def test_onehot_compaction_matches_argsort():
+    """cfg.compaction='onehot' (cumsum ranks + one-hot contraction) must
+    reproduce the stable-argsort marcher bit-for-bit on random scenes,
+    including rays with zero / few / all-occupied candidates."""
+    def density_fn(params, x):
+        d = jnp.linalg.norm(x, axis=-1)
+        blob = jnp.where(jnp.abs(x[..., 0]) < 0.3, 40.0, 0.0)
+        return jnp.where(d < 0.7, blob, 0.0), x
+    def rgb_fn(params, d, geo):
+        return jax.nn.sigmoid(geo * 3.0)
+
+    rcfg = NGPRenderConfig(n_candidates=64, n_keep=16, grid_size=32,
+                           bound=1.0, bg_color=1.0)
+    occ = update_occupancy(
+        init_occupancy(rcfg), None, density_fn, jax.random.PRNGKey(0), rcfg)
+    rng = np.random.default_rng(3)
+    n = 64
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, 2.5]], (n, 1)), jnp.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32) * 0.35
+    d[:, 2] -= 1.0
+    # include guaranteed-miss and dead-center rays
+    d[0] = [0.0, 1.0, 0.0]
+    d[1] = [0.0, 0.0, -1.0]
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    outs = {}
+    for mode in ("argsort", "onehot"):
+        cfg = rcfg._replace(compaction=mode)
+        outs[mode] = ngp_render_rays(
+            jax.random.PRNGKey(1), None, density_fn, rgb_fn, occ,
+            rays_o, rays_d, cfg, perturb=True)
+    for k in ("rgb", "depth", "acc"):
+        np.testing.assert_allclose(np.asarray(outs["onehot"][k]),
+                                   np.asarray(outs["argsort"][k]),
+                                   atol=1e-5, err_msg=k)
+
+
 def test_ngp_field_shapes_and_grads():
     cfg = NGPConfig(num_levels=4, log2_hashmap_size=10, desired_resolution=64)
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=jnp.float32)

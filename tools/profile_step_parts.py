@@ -82,8 +82,20 @@ def march_variants(n_rays=4096):
         m, z = base(acc, i)
         return acc + jnp.sum(jnp.where(m, z, 0.0))
 
+    def v_onehot(acc, i):
+        m, z = base(acc, i)
+        mf = m.astype(jnp.float32)
+        c_occ = jnp.cumsum(mf, axis=-1)
+        n_occ = c_occ[:, -1:]
+        dest = jnp.where(m, c_occ - 1.0,
+                         n_occ + jnp.cumsum(1.0 - mf, axis=-1) - 1.0)
+        kidx = jnp.arange(K, dtype=jnp.float32)
+        sel = dest[:, None, :] == kidx[None, :, None]
+        zk = jnp.sum(jnp.where(sel, z[:, None, :], 0.0), -1)
+        return acc + jnp.sum(zk)
+
     for name, f in (("argsort", v_argsort), ("topk", v_topk),
-                    ("occonly", v_occonly)):
+                    ("occonly", v_occonly), ("onehot", v_onehot)):
         ms = slope_ms(scan_chain(f), jnp.float32(0))
         print(f"march_{name}_{n_rays}rays: {ms:.2f} ms", flush=True)
 

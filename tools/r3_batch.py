@@ -70,10 +70,26 @@ def engine_timing():
               f"r_dense={geo.r_dense[:3]}): {ms:.2f} ms", flush=True)
 
 
-def trainer_step(batch_rays=8192, engine="lattice"):
+def march_ab():
+    from tools import profile_step_parts
+    for n in (4096, 8192):
+        profile_step_parts.march_variants(n)
+
+
+def guarded(fn, name):
+    try:
+        fn()
+    except Exception as e:  # compile failures are safe; log and move on
+        print(f"### stage {name} FAILED: {type(e).__name__}: "
+              f"{str(e)[:500]}", flush=True)
+
+
+def trainer_step(batch_rays=8192, engine="lattice", compaction=None):
     import bench as _b  # repo-root bench.py helpers
     t, sampler, tcfg = _b._ngp_trainer(log2=19, engine=engine,
                                        batch_rays=batch_rays)
+    if compaction is not None:
+        t.rcfg = t.rcfg._replace(compaction=compaction)
     t.fit(sampler, verbose=False)  # 48 steps incl. compile
     t.cfg = tcfg._replace(max_steps=10_000)
     reps, steps = 3, 32
@@ -96,17 +112,25 @@ def quality_lattice_arm():
 if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
     stages = sys.argv[1].split(",") if len(sys.argv) > 1 else [
-        "smoke", "engine", "trainer", "quality"]
+        "smoke", "engine", "march", "trainer", "trainer_oh", "quality",
+        "small"]
     for s in stages:
         print(f"### stage {s} @ {time.strftime('%H:%M:%S')}", flush=True)
         if s == "smoke":
             smoke()
         elif s == "engine":
             engine_timing()
+        elif s == "march":
+            guarded(march_ab, s)
         elif s == "trainer":
             trainer_step(8192)
+        elif s == "trainer_oh":
+            guarded(lambda: trainer_step(8192, compaction="onehot"), s)
         elif s == "trainer4k":
             trainer_step(4096)
         elif s == "quality":
             quality_lattice_arm()
+        elif s == "small":
+            from tools import profile_step_parts
+            guarded(profile_step_parts.small_chunks, s)
     print(f"### done @ {time.strftime('%H:%M:%S')}", flush=True)
