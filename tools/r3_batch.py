@@ -90,6 +90,8 @@ def trainer_step(batch_rays=8192, engine="lattice", compaction=None):
                                        batch_rays=batch_rays)
     if compaction is not None:
         t.rcfg = t.rcfg._replace(compaction=compaction)
+        t._chunk_fn = t._make_chunk_fn()   # rcfg is baked in at jit time
+        t._occ_fn = t._make_occ_fn()
     t.fit(sampler, verbose=False)  # 48 steps incl. compile
     t.cfg = tcfg._replace(max_steps=10_000)
     reps, steps = 3, 32
