@@ -448,6 +448,25 @@ class NGPTrainer:
         allpixel_chunk = int(n_chunks * cfg.all_pixel_at)
         data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         t0 = time.time()
+        # host-side step mirror: reading self.state.step costs a ~28 ms
+        # tunnel round trip per chunk (CLAUDE.md), and the occ cadence
+        # only needs the count the host already knows
+        base_step = int(self.state.step)
+        # results of the PREVIOUS chunk, absorbed after the next chunk is
+        # dispatched so the error-map/history syncs overlap device compute
+        # (the error-map EMA lags its rays by one chunk — harmless for an
+        # EMA of noisy per-ray losses, and the final chunk is absorbed
+        # after the loop)
+        pending = None
+
+        def absorb(p):
+            img_ids, inds_coarse, per_ray, losses, step_after = p
+            if inds_coarse is not None:
+                sampler.update_error_map(img_ids, inds_coarse,
+                                         np.asarray(per_ray))
+            self.history.append(
+                {"step": step_after, "wall_s": time.time() - t0,
+                 "loss": float(losses[-1])})
 
         for ci in range(n_chunks):
             if ci == allpixel_chunk and (
@@ -461,7 +480,7 @@ class NGPTrainer:
                 # full sweeps early (grid unconverged), strided-eighth
                 # partial refreshes in steady state (renderer.py:455-466;
                 # a full 128^3 sweep costs ~1.1s of field evals here)
-                n_refresh = int(self.state.step) // (
+                n_refresh = (base_step + ci * cfg.steps_per_chunk) // (
                     cfg.occ_update_every * cfg.steps_per_chunk)
                 partial = n_refresh >= cfg.full_refreshes
                 self.occ = self._occ_fn(self.occ, self.state.params, sub,
@@ -474,21 +493,21 @@ class NGPTrainer:
             args = [jax.device_put(a, data_sh) for a in arrays]
             key, sub = jax.random.split(key)
             self.state, losses, per_ray = self._chunk_fn(self.state, self.occ, *args, sub)
-            if inds_coarse is not None:
-                sampler.update_error_map(img_ids, inds_coarse, np.asarray(per_ray))
+            if pending is not None:
+                absorb(pending)
+            pending = (img_ids, inds_coarse, per_ray, losses,
+                       int((ci + 1) * cfg.steps_per_chunk))
 
             if verbose and (ci % max(1, n_chunks // 20) == 0 or ci == n_chunks - 1):
                 loss = float(losses[-1])
                 print(
-                    f"step {int(self.state.step)}/{cfg.max_steps}: "
+                    f"step {base_step + (ci + 1) * cfg.steps_per_chunk}"
+                    f"/{cfg.max_steps}: "
                     f"loss {loss:.5f} psnr {float(mse2psnr(jnp.float32(loss))):.2f} "
                     f"({time.time()-t0:.0f}s)"
                 )
-            self.history.append(
-                {"step": int((ci + 1) * cfg.steps_per_chunk),
-                 "wall_s": time.time() - t0,
-                 "loss": float(losses[-1])}
-            )
+        if pending is not None:
+            absorb(pending)
         return self.state
 
     # ------------------------------------------------------------------

@@ -514,7 +514,10 @@ class PlenoxelsTrainer:
                 for a in (origins, dirs, rgb, leaf, mask)
             ]
             self.state, err_buf, m = chunk_fn(self.state, err_buf, *args)
-            mses.append((np.asarray(m[0]), np.asarray(m[1])))
+            # keep on device: a per-chunk np.asarray costs a ~28 ms tunnel
+            # sync and stalls the dispatch pipeline; only the LAST chunk's
+            # values are read below
+            mses.append(m)
 
         err_sum, err_cnt = err_buf
         stat = np.asarray(err_sum)[: epoch.n_leaves] / np.maximum(
@@ -524,7 +527,7 @@ class PlenoxelsTrainer:
         # ray-count-weighted epoch MSE over the LAST chunk (batches with no
         # contributing rays — padding or dropped blocks — report mse 0 and
         # must not leak into the metric)
-        ms, cs = mses[-1]
+        ms, cs = (np.asarray(a) for a in mses[-1])
         epoch_mse = float((ms * cs).sum() / max(cs.sum(), 1.0))
         return stat, epoch_mse
 

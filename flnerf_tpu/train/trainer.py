@@ -267,10 +267,13 @@ class NerfTrainer:
                     f"  chunk {ci}/{n_chunks}: loss {loss:.4f} "
                     f"psnr {float(mse2psnr(jnp.float32(sq / max(cnt, 1.0)))):.2f}"
                 )
-            losses.append((np.asarray(metrics[1]), np.asarray(metrics[2])))
+            # device arrays stay put: per-chunk np.asarray costs a ~28 ms
+            # tunnel sync each and stalls the dispatch pipeline; one
+            # conversion after the loop syncs everything at once
+            losses.append((metrics[1], metrics[2]))
 
-        sqs = np.concatenate([l[0] for l in losses])
-        cnts = np.concatenate([l[1] for l in losses])
+        sqs = np.concatenate([np.asarray(l[0]) for l in losses])
+        cnts = np.concatenate([np.asarray(l[1]) for l in losses])
         leaf_stat = self._finalize_leaf_stat(buffers, epoch.n_leaves)
         # RAY-WEIGHTED mse over the last up-to-16 steps that actually saw
         # real rays (padding-only steps have zero weight and are skipped)
