@@ -104,7 +104,9 @@ def main(argv=None):
     delta = runs[1]["trainview_psnr"] - runs[0]["trainview_psnr"]
     art = {"runs": runs, "delta_db": round(delta, 3),
            "note": "delta = lattice - sorted train-view PSNR at equal "
-           "steps/seed, 2^19 capacity, freq-40 textured synthetic scene"}
+           f"steps/seed, 2^{a.log2} capacity, freq-{a.texture_freq} "
+           "textured synthetic scene"
+           + (" (CPU oracle-path proxy)" if a.cpu else "")}
     with open(a.out, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps(art), flush=True)
