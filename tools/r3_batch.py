@@ -114,8 +114,8 @@ def quality_lattice_arm():
 if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
     stages = sys.argv[1].split(",") if len(sys.argv) > 1 else [
-        "smoke", "engine", "march", "trainer", "trainer_oh", "quality",
-        "small"]
+        "smoke", "engine", "march", "trainer", "trainer_oh", "trainer4k",
+        "quality", "small"]
     for s in stages:
         print(f"### stage {s} @ {time.strftime('%H:%M:%S')}", flush=True)
         if s == "smoke":
@@ -125,11 +125,11 @@ if __name__ == "__main__":
         elif s == "march":
             guarded(march_ab, s)
         elif s == "trainer":
-            trainer_step(8192)
+            guarded(lambda: trainer_step(8192), s)
         elif s == "trainer_oh":
             guarded(lambda: trainer_step(8192, compaction="onehot"), s)
         elif s == "trainer4k":
-            trainer_step(4096)
+            guarded(lambda: trainer_step(4096), s)
         elif s == "quality":
             quality_lattice_arm()
         elif s == "small":
