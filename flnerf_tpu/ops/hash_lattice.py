@@ -429,7 +429,13 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                     in_head = (rel >= 0) & (rel < r_max)
                     b_hi = pl.multiple_of(btail_ref[bi + c], 8)
                     rel_t = (a >> 6) - b_hi
-                    pos_row = jnp.where(in_head, rel, rel_t + r_max)
+                    # rel_t in [-r_max, 0) would land in HEAD rows after
+                    # the +r_max shift (3+-cluster blocks: a middle
+                    # cluster just below the tail base) — force a
+                    # no-match row so out-of-slab corners stay exact 0
+                    pos_row = jnp.where(
+                        in_head, rel,
+                        jnp.where(rel_t >= 0, rel_t + r_max, -1))
                     oh = (pos_row == row_iota).astype(jnp.bfloat16)
                     slab = jnp.concatenate(
                         [table_ref[0, pl.ds(b_lo, r_max), :],
@@ -507,7 +513,11 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                     in_head = (rel >= 0) & (rel < r_max)
                     b_hi = pl.multiple_of(btail_ref[bi + c], 8)
                     rel_t = (a >> 6) - b_hi
-                    pos_row = jnp.where(in_head, rel, rel_t + r_max)
+                    # mask rel_t < 0 (see _fetch_kernel): without it a
+                    # middle-cluster corner scatters grad into head rows
+                    pos_row = jnp.where(
+                        in_head, rel,
+                        jnp.where(rel_t >= 0, rel_t + r_max, -1))
                     oh = (pos_row == row_iota).astype(jnp.bfloat16)
                 else:
                     oh = (rel == row_iota).astype(jnp.bfloat16)

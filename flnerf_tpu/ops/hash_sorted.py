@@ -249,7 +249,12 @@ def _dual_slab_onehot(s, b_lo, b_hi, row_iota2, r_max):
     row_t = s >> 7
     rel_lo = row_t - b_lo
     in_lo = (rel_lo >= 0) & (rel_lo < r_max)
-    pos_row = jnp.where(in_lo, rel_lo, row_t - b_hi + r_max)
+    rel_hi = row_t - b_hi
+    # rel_hi in [-r_max, 0) would alias into HEAD rows after the +r_max
+    # shift (3+-cluster blocks: a middle cluster just below the tail
+    # base) — force a no-match row so such corners contribute exact 0
+    pos_row = jnp.where(in_lo, rel_lo,
+                        jnp.where(rel_hi >= 0, rel_hi + r_max, -1))
     return (pos_row == row_iota2).astype(jnp.bfloat16)
 
 

@@ -180,3 +180,78 @@ def test_geometry_scales_block_with_density():
     assert g_small.block < g_big.block
     assert g_small.r_max <= SPEC.r_pad and g_big.r_max <= SPEC.r_pad
     assert g_big.nblk % g_big.n_g == 0
+
+
+def _three_cluster_x():
+    """8192 points: filler fills exactly 63 sorted key-blocks (8064 =
+    63*128) so the LAST block holds three tiny z-clusters of the dense
+    levels — head slab covers A, tail slab covers C, and B sits in the
+    alias window [b_tail - r, b_tail) of the two largest dense levels."""
+    rng = np.random.default_rng(0)
+    n, nf, na, nb = 8192, 8064, 40, 40
+    x = rng.random((n, 3)).astype(np.float32)
+    x[:nf, 2] = 0.20 * x[:nf, 2]
+    x[nf:nf + na, 2] = 0.70 + 0.0005 * x[nf:nf + na, 2]
+    x[nf + na:nf + na + nb, 2] = 0.78 + 0.0005 * x[nf + na:nf + na + nb, 2]
+    x[nf + na + nb:, 2] = 0.85 + 0.0005 * x[nf + na + nb:, 2]
+    return jnp.asarray(x), slice(nf + na, nf + na + nb)
+
+
+def _alias_window_corners(x, spec):
+    """Dense-level corners outside the head slab but within r rows BELOW
+    the tail base — the set that a '+ r_max' shift without a rel_t >= 0
+    mask would alias into HEAD one-hot rows."""
+    from flnerf_tpu.ops.hash_lattice import _prep
+    geo, skey, _, sp1, b_full, _, b_tail = _prep(x, spec)
+    rows = skey.shape[0]
+    n_ch = rows // spec.n_big
+    offs = np.tile(np.asarray(spec.offs.astype(np.int64), np.int32),
+                   (n_ch, 1))
+    a = (np.asarray(skey).reshape(rows, geo.nblk, geo.block)[..., None]
+         + offs[:, None, None, :])
+    arow = a >> 6
+    rel = arow - np.asarray(b_full).reshape(rows, geo.nblk, 1, 8)
+    rel_t = arow - np.asarray(b_tail).reshape(rows, geo.nblk, 1, 8)
+    uh = np.asarray(spec.split.big.use_hash)
+    r_eff = np.tile(np.where(uh, geo.r_hash, geo.r_dense),
+                    n_ch).astype(np.int32)[:, None, None, None]
+    dense = ~np.tile(uh, n_ch)[:, None, None, None]
+    pos = np.asarray(jax.lax.shift_right_logical(sp1, 14))
+    ch = (np.arange(rows, dtype=np.int32) // spec.n_big)[:, None]
+    real = (pos * n_ch + ch
+            < x.shape[0]).reshape(rows, geo.nblk, geo.block, 1)
+    in_head = (rel >= 0) & (rel < r_eff)
+    return int((dense & real & ~in_head
+                & (rel_t < 0) & (rel_t >= -r_eff)).sum())
+
+
+def test_three_cluster_block_exact_zero_spill():
+    """A middle cluster in the alias window must contribute EXACT ZEROS —
+    not reads/writes of head-slab rows.  Regression for the dual-slab
+    one-hot: pos_row = rel_t + r_max with rel_t in [-r, 0) matched HEAD
+    rows, silently fetching unrelated table entries (full trilerp
+    weight) and scattering gradients into them, while
+    spill_fraction_lattice counted those corners as harmless drops."""
+    x, mid = _three_cluster_x()
+    assert _alias_window_corners(x, SPEC) > 100   # scenario is adversarial
+    _, tb = _tables(SPEC)
+    n = x.shape[0]
+
+    # (1) scatter: grads from middle-only weights never leak to rows the
+    # oracle does not touch (engine writes are a subset of oracle rows)
+    w = np.zeros((n, SPEC.n_big * 2), np.float32)
+    w[mid] = 1.0
+    wj = jnp.asarray(w)
+    g_eng = jax.grad(lambda t: jnp.sum(lattice_encode(x, t, SPEC) * wj))(tb)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(lattice_encode_xla(x, t, SPEC) * wj))(tb)
+    untouched = np.asarray(g_ref) == 0
+    leak = np.abs(np.asarray(g_eng))[untouched]
+    assert leak.size and float(leak.max()) < 1e-7
+
+    # (2) fetch: middle outputs are independent of every table row the
+    # middle cluster's own corners do not touch
+    tb2 = tb + 5.0 * jnp.asarray(untouched, tb.dtype)
+    d = np.abs(np.asarray(
+        lattice_encode(x, tb2, SPEC) - lattice_encode(x, tb, SPEC)))
+    assert float(d[mid].max()) < 1e-6

@@ -175,3 +175,65 @@ def test_dense_level_gap_clusters_exact():
     lo = spec.n_small * spec.level_dim
     want = np.asarray(hash_encode(xj, jnp.asarray(flat), spec.base))[:, lo:]
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=2e-2)
+
+
+def test_three_cluster_block_exact_zero_spill():
+    """Regression for _dual_slab_onehot aliasing: a corner in NEITHER
+    slab with row in [b_hi - r_max, b_hi) used to match HEAD one-hot rows
+    (pos_row = row - b_hi + r_max in [0, r_max)), fetching an unrelated
+    table row in the fwd kernel and scattering gradient into it in the
+    bwd kernel.  Three tiny z-clusters inside ONE 256-key block of the
+    dense level put the middle cluster exactly in that window; its
+    corners must contribute exact zeros instead."""
+    spec = make_split_spec(
+        num_levels=2, level_dim=2, base_resolution=8,
+        log2_hashmap_size=17, desired_resolution=33, split_min_size=1 << 10,
+    )
+    rng = np.random.default_rng(7)
+    nf, nt = 1794, 10          # 8*1794 keys = 56 blocks + 16; 3*8*10 = 240
+    n = nf + 3 * nt
+    x = rng.random((n, 3)).astype(np.float32)
+    x[:nf, 2] = 0.15 * x[:nf, 2]
+    x[nf:nf + nt, 2] = 0.40 + 0.001 * x[nf:nf + nt, 2]
+    x[nf + nt:nf + 2 * nt, 2] = 0.82 + 0.001 * x[nf + nt:nf + 2 * nt, 2]
+    x[nf + 2 * nt:, 2] = 0.95 + 0.001 * x[nf + 2 * nt:, 2]
+    mid = slice(nf + nt, nf + 2 * nt)
+    xj = jnp.asarray(x)
+
+    # guard: the scenario really has corners in the alias window
+    from flnerf_tpu.ops.hash_sorted import _sorted_prep, BLOCK, SENTINEL
+    geo, sidx, _, b_lo, b_hi = _sorted_prep(xj, spec)
+    rows_b = np.asarray(sidx >> 7).reshape(-1, geo.nblk, BLOCK)
+    bl = np.asarray(b_lo).reshape(-1, geo.nblk)[..., None]
+    bh = np.asarray(b_hi).reshape(-1, geo.nblk)[..., None]
+    real = np.asarray(sidx).reshape(-1, geo.nblk, BLOCK) < SENTINEL
+    dense = np.resize(~np.asarray(spec.big.use_hash),
+                      rows_b.shape[0])[:, None, None]
+    in_lo = (rows_b >= bl) & (rows_b < bl + geo.r_max)
+    n_alias = int((dense & real & ~in_lo
+                   & (rows_b >= bh - geo.r_max) & (rows_b < bh)).sum())
+    assert n_alias >= 40, n_alias
+
+    flat = _flat_table(spec, rng)
+    _, tb = split_from_flat(jnp.asarray(flat), spec)
+    lo = spec.n_small * spec.level_dim
+    w = np.zeros((n, len(spec.big.sizes) * spec.level_dim), np.float32)
+    w[mid] = 1.0
+    wj = jnp.asarray(w)
+
+    # (1) scatter: no gradient leaks to rows the oracle does not touch
+    g_eng = jax.grad(
+        lambda t: jnp.sum(hash_encode_sorted(xj, t, spec) * wj))(tb)
+    g_flat = jax.grad(lambda f: jnp.sum(
+        hash_encode(xj, f, spec.base)[:, lo:] * wj))(jnp.asarray(flat))
+    _, g_pack = split_from_flat(g_flat, spec)   # same (linear) layout map
+    untouched = np.asarray(g_pack) == 0
+    leak = np.abs(np.asarray(g_eng))[untouched]
+    assert leak.size and float(leak.max()) < 1e-7
+
+    # (2) fetch: middle outputs are independent of rows their own
+    # corners do not touch
+    tb2 = tb + 5.0 * jnp.asarray(untouched, tb.dtype)
+    d = np.abs(np.asarray(hash_encode_sorted(xj, tb2, spec)
+                          - hash_encode_sorted(xj, tb, spec)))
+    assert float(d[mid].max()) < 1e-6
