@@ -126,11 +126,13 @@ class QuadTreeForest:
         at toy scale pass an explicit floor.
         """
         assert leaf_stat.shape[0] == self.n_leaves
-        if float(np.min(self.min_area)) / 4.0 < min_area_floor:
-            return 0
         areas = self.areas()
         at_min = np.isclose(areas, self.min_area[self.img], rtol=1e-9, atol=1e-9)
-        split = (leaf_stat > thres) & at_min
+        # Per-IMAGE floor gate: min_area drifts independently per image
+        # (divided by 4 only in images that split), so an image reaching
+        # the floor must not halt refinement of the others.
+        img_ok = self.min_area / 4.0 >= min_area_floor
+        split = (leaf_stat > thres) & at_min & img_ok[self.img]
         n_split = int(split.sum())
         if n_split == 0:
             return 0

@@ -232,7 +232,9 @@ class NerfPPTrainer:
             ]
             args = [jax.device_put(a, data_sh) for a in args]
             self.state, err_buf, losses = chunk_fn(self.state, err_buf, *args, keys[ci])
-            all_losses.append((np.asarray(losses[0]), np.asarray(losses[1])))
+            # device arrays stay put: per-chunk np.asarray costs a ~28 ms
+            # tunnel round trip and serializes dispatch (see trainer.py)
+            all_losses.append(losses)
 
         err_sum, err_cnt = err_buf
         stat = np.asarray(err_sum)[: epoch.n_leaves] / np.maximum(
@@ -240,8 +242,8 @@ class NerfPPTrainer:
         )
         stat[np.asarray(err_cnt)[: epoch.n_leaves] == 0] = -np.inf
         # finest-level loss of the last step that saw real rays
-        ls = np.concatenate([l for l, c in all_losses], axis=0)
-        cs = np.concatenate([c for l, c in all_losses], axis=0)
+        ls = np.concatenate([np.asarray(l) for l, c in all_losses], axis=0)
+        cs = np.concatenate([np.asarray(c) for l, c in all_losses], axis=0)
         real = np.nonzero(cs > 0)[0]
         mse = float(ls[real[-1], -1]) if real.size else 0.0
         return stat, mse

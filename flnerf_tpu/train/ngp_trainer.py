@@ -443,7 +443,6 @@ class NGPTrainer:
         cfg.max_steps as the TOTAL so the compiled lr decay spans the
         whole run)."""
         cfg = self.cfg
-        key = jax.random.PRNGKey(cfg.seed + 1)
         n_chunks = (n_steps or cfg.max_steps) // cfg.steps_per_chunk
         allpixel_chunk = int(n_chunks * cfg.all_pixel_at)
         data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
@@ -452,6 +451,10 @@ class NGPTrainer:
         # tunnel round trip per chunk (CLAUDE.md), and the occ cadence
         # only needs the count the host already knows
         base_step = int(self.state.step)
+        # fold the resume step into the stream so interleaved fit() calls
+        # (n_steps loops, CCNeRF level cycling, interactive stepping)
+        # draw fresh per-chunk keys instead of replaying the first call's
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), base_step)
         # results of the PREVIOUS chunk, absorbed after the next chunk is
         # dispatched so the error-map/history syncs overlap device compute
         # (the error-map EMA lags its rays by one chunk — harmless for an

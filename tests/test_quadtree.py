@@ -89,6 +89,23 @@ def test_subdivide_min_area_floor():
     assert b.adjust(stat2, 0.0, min_area_floor=16.0) == 0
 
 
+def test_min_area_floor_is_per_image():
+    """One image reaching the floor must not halt refinement of the
+    others (min_area drifts independently: it is divided by 4 only in
+    images that split)."""
+    f = QuadTreeForest.uniform(2, 16, 16, init_level=2)
+    # split ONLY image 0's leaves twice -> its min_area 64 -> 4
+    for _ in range(2):
+        stat = np.where(f.img == 0, 1e9, 0.0)
+        assert f.subdivide(stat, thres=0.5) > 0
+    assert f.min_area[0] == 4.0 and f.min_area[1] == 64.0
+    # floor=4: image 0 is exhausted (4/4 < 4) but image 1 must still split
+    stat = np.full(f.n_leaves, 1e9)
+    n = f.subdivide(stat, thres=0.5, min_area_floor=4.0)
+    assert n == 4  # image 1's 4 deepest leaves only
+    assert f.min_area[0] == 4.0 and f.min_area[1] == 16.0
+
+
 def test_child_box_order_matches_reference():
     f = QuadTreeForest.uniform(1, 8, 8, init_level=1)
     f.subdivide(np.array([1.0]), thres=0.0)
