@@ -255,3 +255,48 @@ def test_three_cluster_block_exact_zero_spill():
     d = np.abs(np.asarray(
         lattice_encode(x, tb2, SPEC) - lattice_encode(x, tb, SPEC)))
     assert float(d[mid].max()) < 1e-6
+
+
+def test_lattice_engine_multichip_parity():
+    """lattice_encode under jax.shard_map (points sharded, tables
+    replicated, grads psum'd) matches single-device — the multichip
+    contract for the v4 engine when NGPConfig selects it."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    _, tb = _tables(SPEC)
+    devs = jax.devices()
+    # 1024 points per shard: uniform points spill exactly zero corners
+    # at this density (256/shard leaves ~0.1% spilled on the tiny-block
+    # geometry, which shows up as dropped-corner grad deltas, not error)
+    n = 1024 * len(devs)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((n, SPEC.n_big * 2)).astype(np.float32))
+
+    def loss(tb, x, w):
+        return jnp.sum(lattice_encode(x, tb, SPEC) * w)
+
+    ref_out = np.asarray(lattice_encode(x, tb, SPEC))
+    ref_g = np.asarray(jax.grad(loss)(tb, x, w))
+
+    mesh = Mesh(np.array(devs), ("data",))
+
+    @jax.jit
+    def sharded(tb, x, w):
+        def f(tb, x, w):
+            out = lattice_encode(x, tb, SPEC)
+            g = jax.lax.psum(jax.grad(loss)(tb, x, w), "data")
+            return out, g
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=(P("data"), P()), check_vma=False)(tb, x, w)
+
+    out_m, g_m = sharded(tb, x, w)
+    np.testing.assert_allclose(np.asarray(out_m), ref_out,
+                               atol=1e-4, rtol=1e-3)
+    # grads: bf16 scatter contributions round per shard before the f32
+    # psum, so partition order shifts low bits (~2% rel worst case)
+    np.testing.assert_allclose(np.asarray(g_m), ref_g,
+                               atol=1e-4, rtol=3e-2)

@@ -237,3 +237,54 @@ def test_three_cluster_block_exact_zero_spill():
     d = np.abs(np.asarray(hash_encode_sorted(xj, tb2, spec)
                           - hash_encode_sorted(xj, tb, spec)))
     assert float(d[mid].max()) < 1e-6
+
+
+def test_sorted_engine_multichip_parity():
+    """hash_encode_sorted under jax.shard_map (points sharded over the
+    data axis, table replicated, table-grads psum'd) matches the
+    single-device call — the multichip contract the NGP trainer's
+    fwd_bwd relies on (GSPMD cannot partition the opaque Pallas calls,
+    so each device encodes its ray shard locally)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    spec = make_split_spec(
+        num_levels=2, level_dim=2, base_resolution=8,
+        log2_hashmap_size=17, desired_resolution=33, split_min_size=1 << 10,
+    )
+    rng = np.random.default_rng(3)
+    flat = _flat_table(spec, rng)
+    _, tb = split_from_flat(jnp.asarray(flat), spec)
+    devs = jax.devices()
+    n = 256 * len(devs)
+    x = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(
+        (n, len(spec.big.sizes) * spec.level_dim)).astype(np.float32))
+
+    def loss(tb, x, w):
+        return jnp.sum(hash_encode_sorted(x, tb, spec) * w)
+
+    ref_out = np.asarray(hash_encode_sorted(x, tb, spec))
+    ref_g = np.asarray(jax.grad(loss)(tb, x, w))
+
+    mesh = Mesh(np.array(devs), ("data",))
+
+    @jax.jit
+    def sharded(tb, x, w):
+        def f(tb, x, w):
+            out = hash_encode_sorted(x, tb, spec)
+            g = jax.lax.psum(jax.grad(loss)(tb, x, w), "data")
+            return out, g
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=(P("data"), P()), check_vma=False)(tb, x, w)
+
+    out_m, g_m = sharded(tb, x, w)
+    # per-shard calls see different point counts (different block
+    # geometry) — same bf16 fetches, f32 sums in a different order
+    np.testing.assert_allclose(np.asarray(out_m), ref_out,
+                               atol=1e-4, rtol=1e-3)
+    # grads: bf16 scatter contributions round per shard before the f32
+    # psum, so partition order shifts low bits
+    np.testing.assert_allclose(np.asarray(g_m), ref_g,
+                               atol=1e-4, rtol=3e-2)
