@@ -217,23 +217,19 @@ def trilinear_sample(grid: VoxelGrid, pos, cfg: VoxelGridConfig):
     return sig, shv
 
 
-def voxel_render_rays(
-    grid: VoxelGrid,
-    rays_o: jnp.ndarray,
-    rays_d: jnp.ndarray,
-    cfg: VoxelGridConfig,
-):
-    """Volume-render [N] rays against the grid (svox2.py:659-780 math,
-    vectorized over a static max_steps sample budget).  cfg.backend picks
-    the cuvol (trilerp), nvol (alpha-sum) or svox1 (nearest-neighbor DDA)
-    RenderOptions variant."""
-    if cfg.backend == "svox1":
-        return _svox1_render(grid, rays_o, rays_d, cfg)
-    n = rays_o.shape[0]
+def grid_ray_setup(cfg: VoxelGridConfig, rays_o, rays_d):
+    """Grid-space ray setup shared by the XLA renderer, the Pallas block
+    builder (ops/voxel_pallas._ray_geometry) and the weight splatter
+    (max_weight_grid) — ONE source of truth so a marching fix cannot
+    silently break kernel-vs-twin parity.
+
+    Returns (origins, dirs, tmin, tmax, delta_scale, viewdirs): ``dirs``
+    unit-length in grid space, ``tmax < tmin`` for rays that provably
+    miss (axis-parallel rays starting outside that axis' slab — the
+    reference python renderer skips this check; rays clamped into the
+    box would otherwise sample the boundary voxels)."""
     origins = world2grid(cfg, rays_o)
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    sh_mult = eval_basis(grid, viewdirs, cfg)                          # [N, B]
-
     dirs = viewdirs * grid_scaling(cfg)
     delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
     dirs = dirs * delta_scale[..., None]   # unit-length in grid space
@@ -247,12 +243,28 @@ def voxel_render_rays(
     tmin = jnp.where(parallel, -1e9, jnp.minimum(t1, t2)).max(-1)
     tmin = jnp.maximum(tmin, cfg.near_clip)
     tmax = jnp.where(parallel, 1e9, jnp.maximum(t1, t2)).min(-1)
-    # axis-parallel rays starting outside that axis' slab never enter
-    # (the reference python renderer skips this check; rays clamped into
-    # the box would otherwise sample the boundary voxels)
     inside_slab = (origins >= -0.5) & (origins <= gsz - 0.5)
     miss = jnp.any(parallel & ~inside_slab, axis=-1)
     tmax = jnp.where(miss, tmin - 1.0, tmax)
+    return origins, dirs, tmin, tmax, delta_scale, viewdirs
+
+
+def voxel_render_rays(
+    grid: VoxelGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: VoxelGridConfig,
+):
+    """Volume-render [N] rays against the grid (svox2.py:659-780 math,
+    vectorized over a static max_steps sample budget).  cfg.backend picks
+    the cuvol (trilerp), nvol (alpha-sum) or svox1 (nearest-neighbor DDA)
+    RenderOptions variant."""
+    if cfg.backend == "svox1":
+        return _svox1_render(grid, rays_o, rays_d, cfg)
+    n = rays_o.shape[0]
+    origins, dirs, tmin, tmax, delta_scale, viewdirs = grid_ray_setup(
+        cfg, rays_o, rays_d)
+    sh_mult = eval_basis(grid, viewdirs, cfg)                          # [N, B]
 
     s = cfg.max_steps
     ts = tmin[:, None] + cfg.step_size * jnp.arange(s)[None, :]     # [N, S]
@@ -462,14 +474,22 @@ def msi_background(bg, rays_o, viewdirs, remaining, world_step, cfg):
 
 def tv_loss(field: jnp.ndarray, alive: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Total variation of a [X,Y,Z] or [X,Y,Z,C] field, normalized per cell
-    (svox2 tv semantics: mean of squared forward differences)."""
+    (svox2 tv semantics: mean of squared forward differences).
+
+    ``alive`` applies svox2's SPARSE-TV rule (loss_kernel.cu tv_grad:
+    links == -1 neighbors are skipped, not read as zero): a forward diff
+    counts only when BOTH cells are alive.  Treating pruned neighbors as
+    zero instead would add a (value - 0)^2 boundary term that drags
+    exactly the surface voxels the render depends on toward zero."""
     if field.ndim == 3:
         field = field[..., None]
-    if alive is not None:
-        field = jnp.where(alive[..., None], field, 0.0)
     dx = field[1:, :, :] - field[:-1, :, :]
     dy = field[:, 1:, :] - field[:, :-1, :]
     dz = field[:, :, 1:] - field[:, :, :-1]
+    if alive is not None:
+        dx = jnp.where((alive[1:, :, :] & alive[:-1, :, :])[..., None], dx, 0.0)
+        dy = jnp.where((alive[:, 1:, :] & alive[:, :-1, :])[..., None], dy, 0.0)
+        dz = jnp.where((alive[:, :, 1:] & alive[:, :, :-1])[..., None], dz, 0.0)
     n = field.shape[0] * field.shape[1] * field.shape[2]
     return (jnp.sum(dx ** 2) + jnp.sum(dy ** 2) + jnp.sum(dz ** 2)) / n
 
@@ -530,13 +550,16 @@ def sparsify_background(bg: jnp.ndarray, sigma_thresh: float = 1.0,
 # ---------------------------------------------------------------------------
 
 def upsample_grid(grid: VoxelGrid, new_reso: Tuple[int, int, int]) -> VoxelGrid:
-    """Trilinear upsample (grid.resample's resize step)."""
+    """Trilinear upsample (grid.resample's resize step).  The voxel-space
+    fields resize; background/basis live in their own spaces and carry
+    through unchanged (dropping them would silently fall back to the
+    flat background / closed-form SH on the next render)."""
     density = jax.image.resize(grid.density, new_reso, "trilinear")
     sh = jax.image.resize(grid.sh, new_reso + (grid.sh.shape[-1],), "trilinear")
     alive = (
         jax.image.resize(grid.alive.astype(jnp.float32), new_reso, "trilinear") > 0.0
     )
-    return VoxelGrid(density, sh, alive)
+    return VoxelGrid(density, sh, alive, grid.background, grid.basis)
 
 
 def max_weight_grid(grid: VoxelGrid, cfg: VoxelGridConfig, poses, H, W, K,
@@ -548,6 +571,12 @@ def max_weight_grid(grid: VoxelGrid, cfg: VoxelGridConfig, poses, H, W, K,
     removes occluded interior cells."""
     from flnerf_tpu.rays.camera import get_rays
 
+    if cfg.backend == "svox1":
+        raise ValueError(
+            "max_weight_grid/weight_prune_grid needs the sample-weight "
+            "marching backends ('cuvol'/'nvol'); svox1's nearest-voxel "
+            "DDA exposes no per-sample weights and steps on different "
+            "positions — use sigma-threshold prune_grid instead")
     maxw = jnp.zeros(cfg.reso, jnp.float32)
 
     @jax.jit
@@ -557,21 +586,10 @@ def max_weight_grid(grid: VoxelGrid, cfg: VoxelGridConfig, poses, H, W, K,
         rd = rd[::stride, ::stride].reshape(-1, 3)
         out = voxel_render_rays(grid, ro, rd, cfg)
         w = out["weights"]                                   # [N, S]
-        origins = world2grid(cfg, ro)
-        viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-        dirs = viewdirs * grid_scaling(cfg)
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        # recompute sample positions exactly like voxel_render_rays
+        # recompute sample positions with the renderer's OWN ray setup
+        # (shared helper: the positions match voxel_render_rays exactly)
+        origins, dirs, tmin, _, _, _ = grid_ray_setup(cfg, ro, rd)
         gsz = jnp.asarray(cfg.reso, jnp.float32)
-        parallel = jnp.abs(dirs) < 1e-9
-        safe = jnp.where(parallel, 1e-9, dirs)
-        inv = 1.0 / safe
-        t1 = (-0.5 - origins) * inv
-        t2 = (gsz - 0.5 - origins) * inv
-        tmin = jnp.maximum(
-            jnp.where(parallel, -1e9, jnp.minimum(t1, t2)).max(-1),
-            cfg.near_clip,
-        )
         ts = tmin[:, None] + cfg.step_size * jnp.arange(cfg.max_steps)[None, :]
         pos = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
         pos = jnp.clip(pos, 0.0, gsz - 1.0)

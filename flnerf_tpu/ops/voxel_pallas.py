@@ -47,8 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flnerf_tpu.models.voxel_sh import (
     VoxelGrid,
     VoxelGridConfig,
-    grid_scaling,
-    world2grid,
+    grid_ray_setup,
 )
 from flnerf_tpu.ops.sh_encoding import sh_encode
 
@@ -128,26 +127,12 @@ _C_O, _C_D, _C_TMIN, _C_TMAX, _C_DS, _C_SH = 0, 3, 6, 7, 8, 9
 
 
 def _ray_geometry(rays_o, rays_d, cfg: VoxelGridConfig):
-    """Grid-space ray setup — identical math to voxel_sh.voxel_render_rays."""
-    origins = world2grid(cfg, rays_o)
-    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    """Grid-space ray setup — delegates to voxel_sh.grid_ray_setup (one
+    source of truth with the XLA twin), adding the kernel's closed-form
+    SH basis row."""
+    origins, dirs, tmin, tmax, delta_scale, viewdirs = grid_ray_setup(
+        cfg, rays_o, rays_d)
     sh_mult = sh_encode(viewdirs, degree=int(np.sqrt(cfg.basis_dim)))
-    dirs = viewdirs * grid_scaling(cfg)
-    delta_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)
-    dirs = dirs * delta_scale[..., None]
-
-    gsz = jnp.asarray(cfg.reso, jnp.float32)
-    parallel = jnp.abs(dirs) < 1e-9
-    safe = jnp.where(parallel, 1e-9, dirs)
-    inv = 1.0 / safe
-    t1 = (-0.5 - origins) * inv
-    t2 = (gsz - 0.5 - origins) * inv
-    tmin = jnp.where(parallel, -1e9, jnp.minimum(t1, t2)).max(-1)
-    tmin = jnp.maximum(tmin, cfg.near_clip)
-    tmax = jnp.where(parallel, 1e9, jnp.maximum(t1, t2)).min(-1)
-    inside = (origins >= -0.5) & (origins <= gsz - 0.5)
-    miss = jnp.any(parallel & ~inside, axis=-1)
-    tmax = jnp.where(miss, tmin - 1.0, tmax)
     return origins, dirs, tmin, tmax, delta_scale, sh_mult
 
 
@@ -704,7 +689,8 @@ def _bwd_call(key, nb, interpret):
 def render_blocks(table, rays, corners, valid, cfg: VoxelGridConfig):
     """Fused volume render over coherent ray blocks.
 
-    table [X, Y, ZG, 128] bf16 (pack_table); rays/corners/valid from
+    table [ZG, X, Y, 128] bf16 (pack_table's layout: z-groups lead so the
+    tiled memref dim is Y); rays/corners/valid from
     build_blocks.  Returns [n_blocks, RB, 8] f32:
     ch 0:3 rgb, 3 depth, 4 final log-transmittance, 5 acc."""
     out, _ = _render_fwd(table, rays, corners, valid, cfg)
@@ -763,7 +749,17 @@ def voxel_render_rays_fast(grid: VoxelGrid, rays_o, rays_d,
     """Drop-in analog of voxel_sh.voxel_render_rays via the Pallas path.
 
     Rays should already be coherence-ordered; N is padded to RB internally.
-    Returns the twin's dict (plus per-block 'ok' spread flags)."""
+    Returns the twin's dict (plus per-block 'ok' spread flags).  A trained
+    MSI background is composited exactly like the twin; learned-basis
+    grids and non-cuvol backends are rejected (the fused kernel bakes
+    cuvol marching + closed-form SH)."""
+    if grid.basis is not None:
+        raise ValueError("voxel_render_rays_fast is closed-form-SH only "
+                         "(grid.basis set) — use voxel_render_rays")
+    if cfg.backend != "cuvol":
+        raise ValueError(f"voxel_render_rays_fast bakes cuvol marching; "
+                         f"cfg.backend={cfg.backend!r} needs "
+                         "voxel_render_rays")
     n = rays_o.shape[0]
     n_pad = -(-n // RB) * RB
     if n_pad != n:
@@ -776,8 +772,16 @@ def voxel_render_rays_fast(grid: VoxelGrid, rays_o, rays_d,
     out = render_blocks(table, blocks.rays, blocks.corners, blocks.valid, cfg)
     out = out.reshape(n_pad, 8)[:n]
     t_fin = jnp.exp(out[:, 4])
+    rgb = out[:, 0:3]
+    if grid.background is not None:
+        # same MSI composite the train step applies to the kernel output —
+        # without it, eval renders the flat background_brightness fill
+        # while training optimized the MSI field (plenoxels_trainer.py)
+        from flnerf_tpu.models.voxel_sh import compose_msi_background
+        rgb = compose_msi_background(grid.background, rgb, out[:, 4],
+                                     rays_o[:n], rays_d[:n], cfg)
     return {
-        "rgb": out[:, 0:3],
+        "rgb": rgb,
         "depth": out[:, 3],
         "acc": 1.0 - t_fin,
         "ok": blocks.ok,

@@ -102,8 +102,10 @@ def with_density(occ: OccupancyState, density, cfg: NGPRenderConfig,
 def near_far_from_aabb(rays_o, rays_d, bound: float, min_near: float):
     """Slab-method ray/AABB intersection ([-bound, bound]^3).
 
-    Matches raymarching.py:19/near_far_from_aabb semantics: near clamped to
-    min_near; rays that miss get near > far (caller masks them).
+    Matches raymarching.py:19/near_far_from_aabb semantics: near clamped
+    to min_near.  ``far`` is always clamped to >= near + 1e-6 (static
+    shapes need a valid interval for every lane), so misses must be
+    culled via the ``hit`` mask — NOT by comparing near > far.
     """
     inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
     t0 = (-bound - rays_o) * inv_d
@@ -159,21 +161,28 @@ def mark_untrained_grid(
     idx = np.arange(g)
     gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
     centers = (np.stack([gx, gy, gz], -1).reshape(-1, 3) + 0.5) / g
-    centers = (centers * 2.0 - 1.0) * cfg.bound                     # [M, 3]
+    centers = ((centers * 2.0 - 1.0) * cfg.bound).astype(np.float32)  # [M, 3]
 
-    poses = np.asarray(poses)
+    poses = np.asarray(poses, np.float32)
     K = np.asarray(K)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     visible = np.zeros(centers.shape[0], bool)
-    for p in poses:
-        R = p[:3, :3]
-        t = p[:3, 3]
-        cam = (centers - t) @ R                                      # world->cam
-        z = -cam[:, 2]                                               # looking -z
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = fx * cam[:, 0] / np.maximum(z, 1e-9) + cx
-            v = -fy * cam[:, 1] / np.maximum(z, 1e-9) + cy
-        visible |= (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    # chunk the cell axis: at grid_size 256 the unchunked per-pose
+    # temporaries (cam/u/v/z over 16.7M cells) peak around a GB on the
+    # single-core host
+    for s in range(0, centers.shape[0], chunk):
+        ce = centers[s:s + chunk]
+        vis = visible[s:s + chunk]
+        for p in poses:
+            R = p[:3, :3]
+            t = p[:3, 3]
+            cam = (ce - t) @ R                                       # world->cam
+            z = -cam[:, 2]                                           # looking -z
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = fx * cam[:, 0] / np.maximum(z, 1e-9) + cx
+                v = -fy * cam[:, 1] / np.maximum(z, 1e-9) + cy
+            vis |= (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        visible[s:s + chunk] = vis
 
     density = np.asarray(occ.density).reshape(-1).copy()
     density[~visible] = -1.0
@@ -405,8 +414,13 @@ def ngp_render_image(
     bg_fn: Optional[Callable] = None,
 ):
     """Full-image eval render with fixed-size compiled chunks.  ``time``
-    renders a D-NeRF frame at that timestamp."""
+    renders a D-NeRF frame at that timestamp.  ``bg_color`` overrides
+    cfg.bg_color for this render (baked into the compiled chunk via the
+    cfg cache key); ``bg_fn`` still takes precedence when given."""
     from flnerf_tpu.rays.camera import get_rays
+
+    if bg_color is not None:
+        cfg = cfg._replace(bg_color=float(bg_color))
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
     rays_o = rays_o.reshape(-1, 3)

@@ -136,6 +136,10 @@ class PlenoxelsTrainer:
                 "use_kernel supports basis_type='sh' only (the Pallas "
                 "table packs closed-form SH); learned bases take the XLA "
                 "train path")
+        if grid_cfg.backend != "cuvol" and train_cfg.use_kernel:
+            raise ValueError(
+                "use_kernel bakes cuvol marching; backend="
+                f"{grid_cfg.backend!r} takes the XLA train path")
         self.state = jax.device_put(
             PlenoxelsState(
                 grid,
@@ -587,8 +591,6 @@ class PlenoxelsTrainer:
         grid = upsample_grid(self.state.grid, new_reso)
         if prune:
             grid = prune_grid(grid, self.cfg.prune_sigma_thresh)
-        grid = grid._replace(background=self.state.grid.background,
-                             basis=self.state.grid.basis)
         self.gcfg = self.gcfg._replace(reso=new_reso)
         rep = replicated(self.mesh)
         self.state = jax.device_put(
