@@ -143,7 +143,17 @@ def ngp_background(params: Params, rays_o, rays_d, cfg: NGPConfig,
 def make_ngp_spec(cfg: NGPConfig):
     """PackedHashSpec (matmul kernels) up to 2^15 tables; SplitHashSpec
     (sorted-block gather engine) for 2^16+."""
-    if cfg.log2_hashmap_size >= 16:
+    if cfg.hash_engine not in ("auto", "matmul", "sorted", "lattice"):
+        raise ValueError(f"unknown hash_engine {cfg.hash_engine!r} "
+                         "(auto|matmul|sorted|lattice)")
+    if cfg.log2_hashmap_size < 16 and cfg.hash_engine in ("sorted", "lattice"):
+        # silently downgrading to the matmul path would benchmark the
+        # wrong engine — the gather engines only pay off at 2^16+
+        raise ValueError(
+            f"hash_engine={cfg.hash_engine!r} needs log2_hashmap_size >= "
+            f"16 (got {cfg.log2_hashmap_size}); the matmul path is "
+            "cheaper below that and is selected by 'auto'")
+    if cfg.log2_hashmap_size >= 16 and cfg.hash_engine != "matmul":
         engine = cfg.hash_engine
         if engine == "auto":
             engine = "sorted"

@@ -159,7 +159,16 @@ class NerfPPTrainer:
                 err_buf[0].at[safe_leaf].add(jnp.where(mask > 0, per_ray_err, 0.0)),
                 err_buf[1].at[safe_leaf].add(mask),
             )
-            new_state = NerfPPState(tuple(params), tuple(opts), state.global_iter + 1)
+            # padding-only steps are true no-ops: zero grads would still
+            # decay each level's Adam moments and emit a stale-momentum
+            # step (see trainer.py one_step)
+            has = jnp.sum(mask) > 0.0
+            sel = lambda a, b: jnp.where(has, a, b)
+            new_state = NerfPPState(
+                jax.tree_util.tree_map(sel, tuple(params), state.params),
+                jax.tree_util.tree_map(sel, tuple(opts), state.opt_states),
+                state.global_iter + has.astype(state.global_iter.dtype),
+            )
             # carry the real-ray count so the epoch metric can skip
             # padding-only steps (their losses are 0 and would understate
             # the reported mse)

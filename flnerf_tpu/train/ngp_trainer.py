@@ -443,8 +443,10 @@ class NGPTrainer:
         cfg.max_steps as the TOTAL so the compiled lr decay spans the
         whole run)."""
         cfg = self.cfg
-        n_chunks = (n_steps or cfg.max_steps) // cfg.steps_per_chunk
-        allpixel_chunk = int(n_chunks * cfg.all_pixel_at)
+        # ceil: n_steps below/astride the chunk size still trains (the
+        # floor silently ran 0 chunks for n_steps < steps_per_chunk);
+        # interleaved callers get chunk-granular budgets, documented
+        n_chunks = -((n_steps or cfg.max_steps) // -cfg.steps_per_chunk)
         data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         t0 = time.time()
         # host-side step mirror: reading self.state.step costs a ~28 ms
@@ -471,8 +473,13 @@ class NGPTrainer:
                 {"step": step_after, "wall_s": time.time() - t0,
                  "loss": float(losses[-1])})
 
+        # all-pixel switch at a GLOBAL step threshold: computing it from
+        # this call's n_chunks made interleaved fit(n_steps=...) callers
+        # switch at all_pixel_at of each CALL, discarding the error maps
+        # near the start of training
+        allpixel_step = int(cfg.max_steps * cfg.all_pixel_at)
         for ci in range(n_chunks):
-            if ci == allpixel_chunk and (
+            if (base_step + ci * cfg.steps_per_chunk >= allpixel_step) and (
                 sampler.image_probs is not None or sampler.error_map is not None
             ):
                 sampler.change_to_allpixel()
@@ -499,16 +506,20 @@ class NGPTrainer:
             if pending is not None:
                 absorb(pending)
             pending = (img_ids, inds_coarse, per_ray, losses,
-                       int((ci + 1) * cfg.steps_per_chunk))
+                       base_step + (ci + 1) * cfg.steps_per_chunk)
 
             if verbose and (ci % max(1, n_chunks // 20) == 0 or ci == n_chunks - 1):
-                loss = float(losses[-1])
-                print(
-                    f"step {base_step + (ci + 1) * cfg.steps_per_chunk}"
-                    f"/{cfg.max_steps}: "
-                    f"loss {loss:.5f} psnr {float(mse2psnr(jnp.float32(loss))):.2f} "
-                    f"({time.time()-t0:.0f}s)"
-                )
+                # print the PREVIOUS chunk's loss (already absorbed, so
+                # the host never blocks on the chunk just dispatched —
+                # syncing losses[-1] here re-serialized the pipeline)
+                if self.history:
+                    h = self.history[-1]
+                    print(
+                        f"step {h['step']}/{cfg.max_steps}: "
+                        f"loss {h['loss']:.5f} "
+                        f"psnr {float(mse2psnr(jnp.float32(h['loss']))):.2f} "
+                        f"({time.time()-t0:.0f}s)"
+                    )
         if pending is not None:
             absorb(pending)
         return self.state
@@ -534,6 +545,11 @@ class NGPTrainer:
             ),
             "occ_density": np.asarray(self.occ.density),
             "occ_mean": float(self.occ.mean_density),
+            # full checkpoints carry the optimizer like the reference
+            # (utils.py full=True): resuming with fresh Adam moments at
+            # the decayed LR spikes the loss on converged params
+            "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                self.state.opt_state),
         }
         path = os.path.join(ckpt_dir, f"{name}.pkl")
         with open(path, "wb") as f:
@@ -567,8 +583,16 @@ class NGPTrainer:
             jax.tree_util.tree_map(jnp.asarray, d["ema_params"])
             if d.get("ema_params") is not None else None
         )
+        opt_state = self.state.opt_state
+        if d.get("opt_state") is not None:
+            # restore Adam moments matching the params/step (older
+            # checkpoints without the field keep the live opt_state)
+            opt_state = jax.tree_util.tree_map(
+                lambda live, saved: jnp.asarray(saved, live.dtype)
+                if hasattr(live, "dtype") else saved,
+                opt_state, d["opt_state"])
         self.state = jax.device_put(
-            NGPTrainState(params, self.state.opt_state, jnp.int32(d["step"]), ema), rep
+            NGPTrainState(params, opt_state, jnp.int32(d["step"]), ema), rep
         )
         self.occ = jax.device_put(
             OccupancyState(
@@ -603,6 +627,6 @@ class NGPTrainer:
                 gt = gt[..., :3] * gt[..., 3:] + (
                     self.rcfg.bg_color * (1.0 - gt[..., 3:]))
             mse = float(np.mean((rgb - gt) ** 2))
-            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+            psnrs.append(float(mse2psnr(mse)))
             ssims.append(float(compute_ssim(jnp.asarray(gt), jnp.asarray(rgb))))
         return float(np.mean(psnrs)), float(np.mean(ssims))

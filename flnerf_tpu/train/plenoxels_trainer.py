@@ -381,6 +381,13 @@ class PlenoxelsTrainer:
                 rms_bg=rms_bg, bg_alive=state.bg_alive,
                 rms_basis=rms_basis,
             )
+            # padding-only steps are true no-ops: zero ray grads give a
+            # zero RMSProp step, but the TV term would still fire an
+            # extra regularization-only update and decay the RMS stats
+            # (see trainer.py one_step)
+            has = jnp.sum(mask) > 0.0
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(has, a, b), new_state, state)
             return new_state, err_buf, (mse, jnp.sum(eff_mask))
 
         def chunk_fn(state, err_buf, origins, dirs, rgb, leaf, mask):

@@ -164,7 +164,19 @@ class NerfTrainer:
                 err_max = err_max.at[safe_leaf].max(masked_err)
                 new_buffers = err_max
 
-            new_state = TrainState(new_pc, new_pf, new_opt, state.global_iter + 1)
+            # padding-only steps (cnt == 0) must be true no-ops: the zero
+            # grads would still decay Adam moments and emit a
+            # stale-momentum step at full LR (the reference never runs an
+            # optimizer step on non-existent rays), so select the old
+            # state wholesale and do not advance the LR-decay counter
+            has = cnt > 0.0
+            sel = lambda a, b: jnp.where(has, a, b)
+            new_state = TrainState(
+                jax.tree_util.tree_map(sel, new_pc, state.params_coarse),
+                jax.tree_util.tree_map(sel, new_pf, state.params_fine),
+                jax.tree_util.tree_map(sel, new_opt, state.opt_state),
+                state.global_iter + has.astype(state.global_iter.dtype),
+            )
             # (sq_sum, value_count): padding-only steps carry zero weight,
             # so the epoch metric can be RAY-WEIGHTED — a plain mean over
             # steps diluted the reported mse by up to the pad fraction
@@ -297,14 +309,20 @@ class NerfTrainer:
         rand_num = int(cfg.n_rand * cfg.precrop_iters / budgeter.n_images)
         # the reference runs precrop_iters FULL batches (run_nerf.py:367-423,
         # with replacement across iters) — only fall back to without-
-        # replacement when the budget fits inside one pass of the crop
-        sel = budgeter.rng.choice(coords.shape[0], size=rand_num,
-                                  replace=rand_num > coords.shape[0])
-        cs = coords[sel]
+        # replacement when the budget fits inside one pass of the crop.
+        # Draw INDEPENDENTLY per image: tiling one coordinate set across
+        # all views trains every view on the identical pixel lattice,
+        # correlating the warmup batches (the reference redraws per iter)
+        sel = np.stack([
+            budgeter.rng.choice(coords.shape[0], size=rand_num,
+                                replace=rand_num > coords.shape[0])
+            for _ in range(budgeter.n_images)
+        ])                                           # [n_images, rand_num]
+        cs = coords[sel.ravel()]
 
         img_idx = np.repeat(np.arange(budgeter.n_images), rand_num)
-        px = np.tile(cs[:, 0], budgeter.n_images)
-        py = np.tile(cs[:, 1], budgeter.n_images)
+        px = cs[:, 0]
+        py = cs[:, 1]
         epoch = RayEpoch(
             origins=budgeter.origins[img_idx, px, py],
             dirs=budgeter.dirs[img_idx, px, py],
@@ -378,6 +396,6 @@ class NerfTrainer:
                 self.render_cfg, H, W, K, poses[i][:3, :4], chunk=chunk,
             )
             mse = float(np.mean((rgb - images[i]) ** 2))
-            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+            psnrs.append(float(mse2psnr(mse)))
             ssims.append(float(compute_ssim(jnp.asarray(images[i]), jnp.asarray(rgb))))
         return float(np.mean(psnrs)), float(np.mean(ssims))

@@ -128,3 +128,47 @@ def test_epoch_mse_ignores_padding_steps(tiny_scene):
     # dilution by all-pad steps would push the reported value far below
     # any physically-possible per-ray mse at init
     assert mse > 0.01, mse
+
+
+def test_padding_steps_are_noops():
+    """Identical rays trained with exact chunk fill vs a 50%-padded
+    chunk must produce IDENTICAL params: padding-only scan steps used
+    to decay Adam moments and emit a stale-momentum step (and advance
+    the LR counter) on zero grads."""
+    from flnerf_tpu.rays.quadtree import RayEpoch
+
+    init_fn, query_fn = make_nerf_field(
+        multires=2, multires_views=2, netdepth=2, netwidth=16,
+        compute_dtype=jnp.float32,
+    )
+    # perturb=0 -> per-step PRNG keys are unused, so the two runs are
+    # deterministic and comparable despite different step counts
+    rc = RenderConfig(n_samples=6, n_importance=6, near=2.0, far=6.0,
+                      perturb=0.0)
+    rng = np.random.default_rng(0)
+    n = 64
+    epoch = RayEpoch(
+        origins=rng.standard_normal((n, 3)).astype(np.float32),
+        dirs=(rng.standard_normal((n, 3))
+              + np.array([0, 0, -2.0])).astype(np.float32),
+        rgb=rng.random((n, 3)).astype(np.float32),
+        leaf_id=rng.integers(0, 4, n).astype(np.int32),
+        n_leaves=4,
+    )
+
+    def run(steps_per_chunk):
+        tc = TrainConfig(n_rand=8, steps_per_chunk=steps_per_chunk,
+                         precrop_iters=0)
+        t = NerfTrainer(query_fn, init_fn, rc, tc)
+        t.run_epoch_rays(epoch, jax.random.PRNGKey(1))
+        return t.state
+
+    s_exact = run(8)    # 64 rays == 8*8: zero padding
+    s_padded = run(16)  # pads to 128: 8 padding-only steps
+    assert int(s_exact.global_iter) == int(s_padded.global_iter) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(s_exact.params_fine),
+                    jax.tree_util.tree_leaves(s_padded.params_fine)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_exact.opt_state),
+                    jax.tree_util.tree_leaves(s_padded.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
