@@ -60,6 +60,11 @@ def load_nerfpp_split(
     n = len(pose_files)
     assert n > 0, f"no poses under {split_dir}"
     assert len(intr_files) == n
+    # a duplicate (0001.png + 0001.jpg) or missing frame would silently
+    # pair every later image with the wrong camera
+    assert len(img_files) == n, (
+        f"rgb/ has {len(img_files)} files but pose/ has {n} under "
+        f"{split_dir}")
 
     intrinsics = np.stack([_parse_txt_mat(f) for f in intr_files], 0)
     poses = np.stack([_parse_txt_mat(f) for f in pose_files], 0)

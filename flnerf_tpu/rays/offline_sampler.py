@@ -78,33 +78,54 @@ class OfflineRaySampler:
         return d["cache"]
 
 
-def gen_rays_from_cache(budgeter, cache: dict, cur_level: int):
+def gen_rays_from_cache(budgeter, cache: dict, cur_level: int,
+                        down_scale: int = 1):
     """gen_rays_v4 analog (tree.py:430-490): non-deepest leaves draw 10
-    fresh uniform pixels; deepest leaves reuse the cached block pixels."""
+    fresh uniform pixels; deepest leaves reuse the cached block pixels.
+
+    Each deepest leaf looks up the cache level matching ITS OWN size:
+    min_area drifts per image (divided by 4 only in images that split),
+    so different images' deepest leaves live at different levels — using
+    one global level grid would map a lagging image's leaves onto a
+    single sub-block.  ``cur_level`` caps the lookup.  ``down_scale``
+    must match the pre_gen_rays build so the uncached fallback draws the
+    same per-area rate as the cached blocks."""
     forest = budgeter.forest
-    counts = budgeter.ray_counts(1, forest)
+    counts = budgeter.ray_counts(down_scale, forest)
     areas = forest.areas()
     deepest = areas <= forest.min_area[forest.img] + 0.01
 
-    n_side = 2 ** (cur_level - 1)
-    bh, bw = budgeter.H / n_side, budgeter.W / n_side
+    # leaf side -> its uniform-partition level: H / 2^(l-1) px per block
+    heights = np.maximum(forest.boxes[:, 2] - forest.boxes[:, 0], 1e-9)
+    levels = np.rint(1.0 + np.log2(budgeter.H / heights)).astype(np.int64)
 
     all_px, all_py, all_leaf = [], [], []
+    fresh_leaves, fresh_counts = [], []
     for li in range(forest.n_leaves):
         img = int(forest.img[li])
-        if deepest[li] and cur_level in cache[img]:
+        lvl = min(int(levels[li]), cur_level)
+        if deepest[li] and lvl in cache[img]:
+            n_side = 2 ** (lvl - 1)
+            bh, bw = budgeter.H / n_side, budgeter.W / n_side
             bi = min(int(forest.boxes[li, 0] // bh), n_side - 1)
             bj = min(int(forest.boxes[li, 1] // bw), n_side - 1)
-            pts = cache[img][cur_level][bi, bj]
-            px, py = pts[:, 0], pts[:, 1]
+            pts = cache[img][lvl][bi, bj]
+            all_px.append(pts[:, 0])
+            all_py.append(pts[:, 1])
+            all_leaf.append(np.full(pts.shape[0], li, np.int32))
         else:
-            n = 10 if not deepest[li] else int(counts[li])
-            leaf_of, px, py = budgeter._draw_uniform_pixels(
-                forest.boxes[li : li + 1], np.array([n])
-            )
-        all_px.append(px)
-        all_py.append(py)
-        all_leaf.append(np.full(len(px), li, np.int32))
+            fresh_leaves.append(li)
+            fresh_counts.append(10 if not deepest[li] else int(counts[li]))
+
+    if fresh_leaves:
+        # ONE batched draw for every uncached leaf (per-leaf calls are a
+        # host-side hot spot on the 1-core host, CLAUDE.md)
+        idx = np.asarray(fresh_leaves, np.int64)
+        leaf_of, px_f, py_f = budgeter._draw_uniform_pixels(
+            forest.boxes[idx], np.asarray(fresh_counts, np.int64))
+        all_px.append(px_f)
+        all_py.append(py_f)
+        all_leaf.append(idx[leaf_of].astype(np.int32))
 
     px = np.concatenate(all_px)
     py = np.concatenate(all_py)
@@ -119,4 +140,9 @@ def gen_rays_from_cache(budgeter, cache: dict, cur_level: int):
         rgb=budgeter.images[img_of, px, py][perm],
         leaf_id=leaf[perm],
         n_leaves=forest.n_leaves,
+        # coherence keys so offline-cache epochs keep the Pallas voxel
+        # kernel path (plenoxels_trainer gates on px is not None)
+        px=px[perm].astype(np.int32),
+        py=py[perm].astype(np.int32),
+        img=img_of[perm].astype(np.int32),
     )

@@ -223,9 +223,16 @@ class RayBudgeter:
         self.epoch_size = self.n_images * self.H * self.W
         self.forest = QuadTreeForest.uniform(self.n_images, self.H, self.W, init_level)
         self.rng = np.random.default_rng(seed)
-        self.sharpness: Optional[SharpnessSampler] = (
-            SharpnessSampler(self.images) if enable_sharpness else None
-        )
+        # lazy: two full box-filter passes over every image on the 1-core
+        # host are only worth paying if prob sampling actually runs
+        self._enable_sharpness = enable_sharpness
+        self._sharpness: Optional[SharpnessSampler] = None
+
+    @property
+    def sharpness(self) -> Optional[SharpnessSampler]:
+        if self._enable_sharpness and self._sharpness is None:
+            self._sharpness = SharpnessSampler(self.images)
+        return self._sharpness
 
     # ------------------------------------------------------------------
     def _draw_uniform_pixels(self, boxes: np.ndarray, counts: np.ndarray):
@@ -320,6 +327,12 @@ class RayBudgeter:
 
         counts = self.ray_counts(down_scale, forest)
 
+        if prob and fractional:
+            # the reference keeps these as distinct generations
+            # (gen_rays_v3_1 prob vs gen_rays_v3 fractional) — silently
+            # preferring one over the other hid the conflict
+            raise ValueError("prob and fractional sampling are mutually "
+                             "exclusive (pick one per epoch)")
         if prob and self.sharpness is not None:
             n_prob = (counts * (1.0 - rand_samp_perc)).astype(np.int64)
             n_unif = counts - n_prob

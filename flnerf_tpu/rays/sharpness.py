@@ -25,8 +25,11 @@ from scipy.ndimage import uniform_filter
 def sharp_image(img: np.ndarray) -> np.ndarray:
     """Local 3x3 std-dev gray map of an [H, W, 3] float image."""
     img = np.asarray(img, dtype=np.float32)
-    e_sq = uniform_filter(img ** 2, size=(3, 3, 1), mode="nearest")
-    sq_e = uniform_filter(img, size=(3, 3, 1), mode="nearest") ** 2
+    # 'mirror' == cv2.blur's default BORDER_REFLECT_101 (the reference's
+    # get_sharp_img border handling); 'nearest' replicated edge pixels
+    # and skewed the 1-px border of every sharpness map
+    e_sq = uniform_filter(img ** 2, size=(3, 3, 1), mode="mirror")
+    sq_e = uniform_filter(img, size=(3, 3, 1), mode="mirror") ** 2
     std = np.sqrt(np.abs(e_sq - sq_e))
     # BT.601 luma (see module docstring on the reference's double flip).
     return 0.299 * std[..., 0] + 0.587 * std[..., 1] + 0.114 * std[..., 2]

@@ -192,9 +192,26 @@ def test_offline_ray_sampler(tmp_path):
     origins = rng.random((2, 16, 16, 3)).astype(np.float32)
     dirs = origins + 0.1
     b = RayBudgeter(images, origins, dirs, init_level=3, seed=0)
-    ep = gen_rays_from_cache(b, cache, cur_level=3)
+    ep = gen_rays_from_cache(b, cache, cur_level=3, down_scale=4)
     assert ep.origins.shape[0] > 0
     assert ep.leaf_id.max() < b.forest.n_leaves
+    # coherence keys present (the Pallas voxel kernel path gates on px)
+    assert ep.px is not None and ep.py is not None and ep.img is not None
+    np.testing.assert_array_equal(
+        ep.rgb, images[ep.img, ep.px, ep.py])
+
+    # per-image levels: split ONLY image 0 once; image 1's deepest
+    # leaves stay at level 3 and must still hit their own cache blocks
+    # covering the whole leaf (not one sub-block of a deeper grid)
+    stat = np.where(b.forest.img == 0, 1e9, 0.0)
+    assert b.forest.subdivide(stat, thres=0.5) > 0
+    ep2 = gen_rays_from_cache(b, cache, cur_level=4, down_scale=4)
+    m1 = ep2.img == 1
+    # image 1 contributes its 16 level-3 blocks x 4 cached rays
+    assert int(m1.sum()) == 64
+    # the cached pixels span every quadrant of image 1 (a global-level
+    # lookup collapsed them into the top-left sub-blocks)
+    assert ep2.px[m1].max() >= 12 and ep2.py[m1].max() >= 12
 
 
 def test_extra_loaders_synthetic_layouts(tmp_path):
