@@ -123,7 +123,9 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         seed=args.seed,
     )
-    trainer = NerfPPTrainer(mcfg, tcfg)
+    # n_images sizes the per-image autoexpo table when --optim_autoexpo
+    trainer = NerfPPTrainer(mcfg, tcfg,
+                            n_images=train["images"].shape[0])
 
     def on_epoch_end(tr, epoch_id):
         # model_{epoch:04d}.pth naming parity (ddp_train_nerf.py:307-315);

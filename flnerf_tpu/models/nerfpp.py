@@ -129,8 +129,9 @@ def _dense(x, layer, dtype):
     return y + layer["b"]
 
 
-def apply_mlpnet(params: Params, pts_embed, view_embed, input_ch: int, compute_dtype=jnp.bfloat16):
-    """Returns (rgb [..., 3], sigma [...]) — nerf_network.py:121-141."""
+def apply_mlpnet(params: Params, pts_embed, view_embed, compute_dtype=jnp.bfloat16):
+    """Returns (rgb [..., 3], sigma [...]) — nerf_network.py:121-141.
+    The skip width is fixed by ``params`` (init_mlpnet), not per call."""
     base = pts_embed
     for i, layer in enumerate(params["base"]):
         if i == 5:  # skip concat before layer 5 (skips={4}, applied pre-next)
@@ -184,9 +185,8 @@ def nerfpp_render(
         embed_fn(viewdirs, cfg.max_freq_log2_viewdirs)[..., None, :],
         fg_pts.shape[:-1] + (embedder_out_dim(cfg.max_freq_log2_viewdirs, 3),),
     )
-    fg_rgb_s, fg_sigma = apply_mlpnet(
-        params["fg"], fg_pe, fg_ve, fg_pe.shape[-1], compute_dtype
-    )
+    fg_rgb_s, fg_sigma = apply_mlpnet(params["fg"], fg_pe, fg_ve,
+                                      compute_dtype)
     fg_dists = fg_z_vals[..., 1:] - fg_z_vals[..., :-1]
     fg_dists = ray_d_norm * jnp.concatenate(
         [fg_dists, fg_z_max[..., None] - fg_z_vals[..., -1:]], -1
@@ -212,9 +212,8 @@ def nerfpp_render(
     bg_pe = jnp.flip(bg_pe, axis=-2)
     bg_ve = jnp.flip(bg_ve, axis=-2)
     bg_z = jnp.flip(bg_z_vals, axis=-1)
-    bg_rgb_s, bg_sigma = apply_mlpnet(
-        params["bg"], bg_pe, bg_ve, bg_pe.shape[-1], compute_dtype
-    )
+    bg_rgb_s, bg_sigma = apply_mlpnet(params["bg"], bg_pe, bg_ve,
+                                      compute_dtype)
     bg_dists = bg_z[..., :-1] - bg_z[..., 1:]
     bg_dists = jnp.concatenate([bg_dists, jnp.full_like(bg_dists[..., :1], HUGE)], -1)
     bg_alpha = 1.0 - jnp.exp(-bg_sigma * bg_dists)

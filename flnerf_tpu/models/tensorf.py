@@ -51,7 +51,9 @@ class TensoRFConfig(NamedTuple):
 
 
 def init_tensorf(key, cfg: TensoRFConfig) -> Params:
-    keys = jax.random.split(key, 16)
+    # 12 factor tables + basis + one per net layer (a fixed 16 raised
+    # StopIteration for num_layers > 3)
+    keys = jax.random.split(key, 13 + cfg.num_layers)
     k = iter(keys)
 
     def svd(ranks):
@@ -194,6 +196,23 @@ def density_l1_loss(params: Params) -> jnp.ndarray:
     return loss
 
 
+def _resize_align_corners(a, new_shape):
+    """Linear resize with align_corners=True node positions —
+    F.interpolate(..., align_corners=True) parity (network.py:266-277).
+    jax.image.resize uses half-pixel centers, which SHIFTS the
+    represented field relative to the align-corners samplers
+    (_sample_plane/_sample_line), defeating the warm start."""
+    from jax.scipy.ndimage import map_coordinates
+
+    coords = jnp.meshgrid(
+        *[jnp.linspace(0.0, so - 1.0, sn) if sn != so
+          else jnp.arange(so, dtype=jnp.float32)
+          for so, sn in zip(a.shape, new_shape)],
+        indexing="ij",
+    )
+    return map_coordinates(a, coords, order=1)
+
+
 def upsample_tensorf(params: Params, cfg: TensoRFConfig, new_resolution) -> Tuple[Params, TensoRFConfig]:
     """Bilinear factor upsampling (network.py:266-277)."""
     new = dict(params)
@@ -204,14 +223,10 @@ def upsample_tensorf(params: Params, cfg: TensoRFConfig, new_resolution) -> Tupl
             m0, m1 = _MAT_IDS[i]
             v = _VEC_IDS[i]
             R = mats[i].shape[0]
-            out_m.append(
-                jax.image.resize(
-                    mats[i], (R, new_resolution[m1], new_resolution[m0]), "bilinear"
-                )
-            )
-            out_v.append(
-                jax.image.resize(vecs[i], (R, new_resolution[v]), "bilinear")
-            )
+            out_m.append(_resize_align_corners(
+                mats[i], (R, new_resolution[m1], new_resolution[m0])))
+            out_v.append(_resize_align_corners(
+                vecs[i], (R, new_resolution[v])))
         return out_m, out_v
 
     new["sigma_mat"], new["sigma_vec"] = up(params["sigma_mat"], params["sigma_vec"])

@@ -52,7 +52,7 @@ class CPConfig(NamedTuple):
 
 
 def init_cp(key, cfg: CPConfig) -> Params:
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 7 + cfg.num_layers)
     k = iter(keys)
 
     def lines(rank):
@@ -153,7 +153,7 @@ class CCNeRFConfig(NamedTuple):
 
 
 def init_ccnerf(key, cfg: CCNeRFConfig) -> Params:
-    keys = jax.random.split(key, 32)
+    keys = jax.random.split(key, 19 + cfg.num_layers)
     k = iter(keys)
     R_vd, R_md = cfg.rank_vec_density[-1], cfg.rank_mat_density[-1]
     R_v, R_m = cfg.rank_vec[-1], cfg.rank_mat[-1]
@@ -175,7 +175,13 @@ def init_ccnerf(key, cfg: CCNeRFConfig) -> Params:
     params: Params = {}
     params["sigma_mat"], params["sigma_mat_line"], params["sigma_vec"] = svd(R_md, R_vd)
     params["color_mat"], params["color_mat_line"], params["color_vec"] = svd(R_m, R_v)
-    total = 3 * (R_v + R_m)
+    # density S scales (network_cc.py:69-71: ones init) — the density
+    # analog of the color basis matrix
+    params["sigma_vec_scale"] = jnp.ones((R_vd,), jnp.float32)
+    params["sigma_mat_scale"] = [jnp.ones((R_md,), jnp.float32)
+                                 for _ in range(3)]
+    # CP ranks contribute ONE product feature each (not one per axis)
+    total = R_v + 3 * R_m
     bnd = 1.0 / np.sqrt(total)
     params["basis"] = jax.random.uniform(
         next(k), (total, cfg.color_feat_dim), jnp.float32, -bnd, bnd
@@ -210,31 +216,37 @@ def ccnerf_density(params: Params, x, cfg: CCNeRFConfig, level: int,
 
     mvd = _rank_mask(cfg.rank_vec_density[-1], cfg.rank_vec_density[level - 1])
     mmd = _rank_mask(cfg.rank_mat_density[-1], cfg.rank_mat_density[level - 1])
-    sig = 0.0
+    # pure-vector (CP) ranks: PRODUCT of the three per-axis line factors
+    # per rank (network_cc.py:158-160 multiplies the three grid_samples)
+    # — a per-axis sum could only represent f(x)+g(y)+h(z) — scaled by
+    # the learned ones-init S vector (network_cc.py:69-71,162)
+    vfd = (_sample_line(params["sigma_vec"][0], x01[:, _VEC_IDS[0]])
+           * _sample_line(params["sigma_vec"][1], x01[:, _VEC_IDS[1]])
+           * _sample_line(params["sigma_vec"][2], x01[:, _VEC_IDS[2]]))
+    sig = jnp.sum(params["sigma_vec_scale"][:, None] * vfd * mvd[:, None], 0)
     for i in range(3):
         m0, m1 = _MAT_IDS[i]
         v = _VEC_IDS[i]
-        # pure-vector (CP-style) components
-        sig = sig + jnp.sum(
-            _sample_line(params["sigma_vec"][i], x01[:, v]) * mvd[:, None], 0
-        )
         # plane x line components
         pf = _sample_plane(params["sigma_mat"][i], x01[:, m0], x01[:, m1])
         lf = _sample_line(params["sigma_mat_line"][i], x01[:, v])
-        sig = sig + jnp.sum(pf * lf * mmd[:, None], 0)
+        sig = sig + jnp.sum(
+            params["sigma_mat_scale"][i][:, None] * pf * lf * mmd[:, None], 0)
     sigma = trunc_exp(sig)
 
     mv = _rank_mask(cfg.rank_vec[-1], cfg.rank_vec[level - 1])
     mm = _rank_mask(cfg.rank_mat[-1], cfg.rank_mat[level - 1])
-    feats = []
+    vfc = (_sample_line(params["color_vec"][0], x01[:, _VEC_IDS[0]])
+           * _sample_line(params["color_vec"][1], x01[:, _VEC_IDS[1]])
+           * _sample_line(params["color_vec"][2], x01[:, _VEC_IDS[2]]))
+    feats = [vfc * mv[:, None]]
     for i in range(3):
         m0, m1 = _MAT_IDS[i]
         v = _VEC_IDS[i]
-        feats.append(_sample_line(params["color_vec"][i], x01[:, v]) * mv[:, None])
         pf = _sample_plane(params["color_mat"][i], x01[:, m0], x01[:, m1])
         lf = _sample_line(params["color_mat_line"][i], x01[:, v])
         feats.append(pf * lf * mm[:, None])
-    col = jnp.concatenate(feats, 0)                              # [3(Rv+Rm), N]
+    col = jnp.concatenate(feats, 0)                              # [Rv+3Rm, N]
     feat = jax.lax.dot_general(
         col.T.astype(compute_dtype), params["basis"].astype(compute_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -245,9 +257,14 @@ def ccnerf_density(params: Params, x, cfg: CCNeRFConfig, level: int,
 
 def make_ccnerf_field(cfg: CCNeRFConfig, level: int = -1, compute_dtype=jnp.bfloat16):
     """Field at a fixed truncation level (default: full K).  Rank-residual
-    training builds one field per level and averages their losses."""
+    training builds one field per level and averages their losses.
+    Levels are 1-based (compute_features' K); -1 selects full K."""
     if level < 0:
         level = cfg.K
+    if not 1 <= level <= cfg.K:
+        raise ValueError(
+            f"truncation level must be in 1..K={cfg.K} (1-based; -1 for "
+            f"full K), got {level}")
 
     def init_fn(key):
         return init_ccnerf(key, cfg)
@@ -354,7 +371,10 @@ def compose_ccnerf_fields(objects: Sequence[ComposedObject],
 
     def rgb_fn(_params, d, packed):
         sh = d.shape[:-1]
-        per = jnp.split(packed, n_obj, axis=-1)
+        # explicit widths: each object carries its OWN color_feat_dim, an
+        # equal n-way split mis-sliced mixed-width compositions
+        widths = [1 + obj.cfg.color_feat_dim for obj in objects]
+        per = jnp.split(packed, np.cumsum(widths)[:-1], axis=-1)
         sigmas = jnp.stack([p[..., 0] for p in per], 0)          # [O, ...]
         ws = jax.nn.softmax(sigmas, axis=0)
         h_all = 0.0

@@ -67,7 +67,8 @@ def _leaf_buf_size(n: int) -> int:
 
 
 class NerfPPTrainer:
-    def __init__(self, model_cfg: NerfPPConfig, train_cfg: NerfPPTrainConfig, mesh=None):
+    def __init__(self, model_cfg: NerfPPConfig, train_cfg: NerfPPTrainConfig,
+                 mesh=None, n_images: int = 0):
         self.mcfg = model_cfg
         self.cfg = train_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -76,7 +77,9 @@ class NerfPPTrainer:
 
         key = jax.random.PRNGKey(train_cfg.seed)
         keys = jax.random.split(key, len(model_cfg.cascade_samples))
-        params = tuple(init_nerfpp(k, model_cfg) for k in keys)
+        # n_images > 0 + optim_autoexpo creates the per-image (scale,
+        # shift) table (NerfNetWithAutoExpo, ddp_model.py:158-186)
+        params = tuple(init_nerfpp(k, model_cfg, n_images) for k in keys)
         opt_states = tuple(self.tx.init(p) for p in params)
         rep = replicated(self.mesh)
         self.state = jax.device_put(
@@ -122,7 +125,7 @@ class NerfPPTrainer:
         cfg, mcfg, tx = self.cfg, self.mcfg, self.tx
 
         def one_step(state: NerfPPState, err_buf, xs):
-            origins, dirs, rgb, leaf, mask, key = xs
+            origins, dirs, rgb, leaf, mask, img, key = xs
             fg_z_max, _ = intersect_sphere(origins, dirs)
             keys = jax.random.split(key, len(mcfg.cascade_samples))
 
@@ -141,8 +144,22 @@ class NerfPPTrainer:
                         p, keys[m], origins, dirs, fg_z_max, prev, m, n_samples
                     )
                     mm = mask[:, None]
-                    denom = jnp.maximum(jnp.sum(mask), 1.0) * 3.0
-                    loss = jnp.sum(mm * (out["rgb"] - rgb) ** 2) / denom
+                    n_real = jnp.maximum(jnp.sum(mask), 1.0)
+                    denom = n_real * 3.0
+                    pred = out["rgb"]
+                    if "autoexpo" in p:
+                        # per-image exposure (ddp_model.py:182-186 +
+                        # ddp_train_nerf.py:388-396): scale = |a|+0.5,
+                        # pred = (rgb - shift)/scale, L1 reg toward (1,0)
+                        ae = p["autoexpo"][img]
+                        scale = jnp.abs(ae[:, 0:1]) + 0.5
+                        shift = ae[:, 1:2]
+                        pred = (pred - shift) / scale
+                    loss = jnp.sum(mm * (pred - rgb) ** 2) / denom
+                    if "autoexpo" in p:
+                        reg = jnp.abs(scale[:, 0] - 1.0) + jnp.abs(shift[:, 0])
+                        loss = loss + mcfg.lambda_autoexpo * jnp.sum(
+                            mask * reg) / n_real
                     return loss, out
 
                 (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params[m])
@@ -174,7 +191,8 @@ class NerfPPTrainer:
             # the reported mse)
             return new_state, err_buf, (jnp.stack(losses), jnp.sum(mask))
 
-        def chunk_fn(state, err_buf, origins, dirs, rgb, leaf, mask, base_key):
+        def chunk_fn(state, err_buf, origins, dirs, rgb, leaf, mask, img,
+                     base_key):
             keys = jax.random.split(base_key, origins.shape[0])
 
             def body(carry, xs):
@@ -183,7 +201,8 @@ class NerfPPTrainer:
                 return (st, buf), losses
 
             (state, err_buf), losses = jax.lax.scan(
-                body, (state, err_buf), (origins, dirs, rgb, leaf, mask, keys)
+                body, (state, err_buf),
+                (origins, dirs, rgb, leaf, mask, img, keys)
             )
             return state, err_buf, losses
 
@@ -191,7 +210,8 @@ class NerfPPTrainer:
         rep = replicated(self.mesh)
         return jax.jit(
             chunk_fn,
-            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh, data_sh, rep),
+            in_shardings=(rep, rep, data_sh, data_sh, data_sh, data_sh,
+                          data_sh, data_sh, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -206,6 +226,19 @@ class NerfPPTrainer:
         cfg = self.cfg
         B, K = cfg.batch_size, cfg.steps_per_chunk
         n = epoch.origins.shape[0]
+        # host-side analog of the reference's hard assert
+        # (ddp_train_nerf.py:54-70): the jitted intersect_sphere only
+        # masks misses, which silently trains fog on unnormalized scenes
+        if n:
+            o, d = epoch.origins, epoch.dirs
+            d1 = -np.sum(d * o, -1) / np.maximum(np.sum(d * d, -1), 1e-12)
+            pmid = o + d1[..., None] * d
+            n_out = int(np.sum(np.sum(pmid * pmid, -1) >= 1.0))
+            if n_out:
+                raise ValueError(
+                    f"{n_out}/{n} rays never enter the unit sphere — "
+                    "nerf++ needs cameras normalized into it "
+                    "(data/pose_tools.py normalize_cam_dict)")
         n_pad = pad_to_multiple(max(n, 1), B * K)
 
         def pad(a, fill=0.0):
@@ -219,6 +252,8 @@ class NerfPPTrainer:
         origins[n:] = 0.0
         rgb = pad(epoch.rgb)
         leaf = pad(epoch.leaf_id.astype(np.int32))
+        img = pad(epoch.img.astype(np.int32)) if epoch.img is not None \
+            else np.zeros(n_pad, np.int32)
         mask = np.zeros(n_pad, np.float32)
         mask[:n] = 1.0
 
@@ -237,7 +272,7 @@ class NerfPPTrainer:
             sl = slice(ci * B * K, (ci + 1) * B * K)
             args = [
                 a[sl].reshape((K, B) + a.shape[1:])
-                for a in (origins, dirs, rgb, leaf, mask)
+                for a in (origins, dirs, rgb, leaf, mask, img)
             ]
             args = [jax.device_put(a, data_sh) for a in args]
             self.state, err_buf, losses = chunk_fn(self.state, err_buf, *args, keys[ci])

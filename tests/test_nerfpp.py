@@ -65,7 +65,7 @@ def test_mlpnet_shapes_and_sigma_positive():
     params = init_mlpnet(key, ic, icv, D=8, W=64)
     pts = embed_fn(jax.random.normal(key, (5, 7, 3)), 4)
     views = embed_fn(jax.random.normal(key, (5, 7, 3)), 2)
-    rgb, sigma = apply_mlpnet(params, pts, views, ic, compute_dtype=jnp.float32)
+    rgb, sigma = apply_mlpnet(params, pts, views, compute_dtype=jnp.float32)
     assert rgb.shape == (5, 7, 3)
     assert sigma.shape == (5, 7)
     assert (np.asarray(sigma) >= 0).all()          # sigma = |linear|
@@ -140,3 +140,60 @@ def test_nerfpp_e2e_training_improves():
     p1 = eval_psnr(test)
     assert p1 > p0 + 1.0, (p0, p1)
     assert len(t.history) == tcfg.n_epoch
+
+
+def test_autoexpo_trains_per_image_exposure():
+    """--optim_autoexpo parity (NerfNetWithAutoExpo, ddp_model.py:158-186
+    + ddp_train_nerf.py:388-396): per-image (scale, shift) exists when
+    n_images is given, receives gradient, and the exposure-corrected
+    loss actually uses the per-ray image ids."""
+    from flnerf_tpu.rays.quadtree import RayEpoch
+    from flnerf_tpu.train.nerfpp_trainer import (
+        NerfPPTrainConfig, NerfPPTrainer)
+
+    mcfg = NerfPPConfig(netdepth=2, netwidth=16, max_freq_log2=2,
+                        max_freq_log2_viewdirs=2, cascade_samples=(8,),
+                        optim_autoexpo=True, lambda_autoexpo=0.5)
+    tcfg = NerfPPTrainConfig(batch_size=8, steps_per_chunk=2,
+                             compute_dtype="float32")
+    t = NerfPPTrainer(mcfg, tcfg, n_images=3)
+    ae0 = np.asarray(t.state.params[0]["autoexpo"])
+    assert ae0.shape == (3, 2)
+
+    rng = np.random.default_rng(0)
+    n = 16
+    o = rng.standard_normal((n, 3)).astype(np.float32) * 0.1
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 2] -= 2.0
+    epoch = RayEpoch(
+        origins=o, dirs=d, rgb=rng.random((n, 3)).astype(np.float32),
+        leaf_id=np.zeros(n, np.int32), n_leaves=1,
+        img=rng.integers(0, 2, n).astype(np.int32),   # image 2 unused
+    )
+    _, mse = t.run_epoch_rays(epoch, jax.random.PRNGKey(0))
+    assert np.isfinite(mse)
+    ae1 = np.asarray(t.state.params[0]["autoexpo"])
+    # sampled images' exposures moved; the never-sampled image's didn't
+    assert np.abs(ae1[:2] - ae0[:2]).max() > 0
+    np.testing.assert_array_equal(ae1[2], ae0[2])
+
+
+def test_run_epoch_rejects_rays_outside_unit_sphere():
+    from flnerf_tpu.rays.quadtree import RayEpoch
+    from flnerf_tpu.train.nerfpp_trainer import (
+        NerfPPTrainConfig, NerfPPTrainer)
+    import pytest
+
+    mcfg = NerfPPConfig(netdepth=2, netwidth=16, max_freq_log2=2,
+                        max_freq_log2_viewdirs=2, cascade_samples=(4,))
+    t = NerfPPTrainer(mcfg, NerfPPTrainConfig(batch_size=8,
+                                              steps_per_chunk=1))
+    n = 8
+    epoch = RayEpoch(
+        origins=np.full((n, 3), 5.0, np.float32),     # far outside
+        dirs=np.tile(np.array([[1.0, 0, 0]], np.float32), (n, 1)),
+        rgb=np.zeros((n, 3), np.float32),
+        leaf_id=np.zeros(n, np.int32), n_leaves=1,
+    )
+    with pytest.raises(ValueError, match="unit sphere"):
+        t.run_epoch_rays(epoch, jax.random.PRNGKey(0))
