@@ -67,11 +67,17 @@ def make_hashgrid_spec(
     desired_resolution: int | None = 2048,
     input_dim: int = 3,
 ) -> HashGridSpec:
-    if desired_resolution is not None:
+    # precedence: an explicit per_level_scale wins (the GridEncoder-style
+    # call); desired_resolution (default 2048) is only consulted when the
+    # scale is not given — previously the 2048 default silently
+    # overwrote a passed per_level_scale
+    if per_level_scale is None:
+        if desired_resolution is None:
+            desired_resolution = 2048
         per_level_scale = float(
-            np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
-        )
-    assert per_level_scale is not None
+            np.exp2(np.log2(desired_resolution / base_resolution)
+                    / max(num_levels - 1, 1))
+        ) if num_levels > 1 else 1.0   # single level: scale is irrelevant
     S = np.log2(per_level_scale)
     max_params = 2 ** log2_hashmap_size
 
@@ -178,13 +184,18 @@ def hash_encode(x01: jnp.ndarray, table: jnp.ndarray, spec: HashGridSpec) -> jnp
 def hash_encode_reference(x01: np.ndarray, table: np.ndarray, spec: HashGridSpec) -> np.ndarray:
     """Slow numpy loop transcription of the CUDA semantics, for tests only.
 
-    uint32 wraparound in the hash is intended; numpy overflow warnings are
-    suppressed for that reason.
+    uint32 wraparound in the hash is intended; numpy overflow warnings
+    are suppressed for that reason — SCOPED (np.seterr would silence
+    overflow warnings process-wide for the rest of the test run).
     """
-    np.seterr(over="ignore")
     n = x01.shape[0]
     dim = spec.input_dim
     out = np.zeros((n, spec.num_levels, spec.level_dim), np.float64)
+    with np.errstate(over="ignore"):
+        return _hash_encode_reference_loop(x01, table, spec, out, n, dim)
+
+
+def _hash_encode_reference_loop(x01, table, spec, out, n, dim):
     for l in range(spec.num_levels):
         scale = float(spec.scales[l])
         res = int(spec.resolutions[l])

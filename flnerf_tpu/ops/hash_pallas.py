@@ -31,7 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flnerf_tpu.ops.hash_encoding import HashGridSpec, make_hashgrid_spec
+from flnerf_tpu.ops.hash_encoding import (HashGridSpec, _corner_index,
+                                           make_hashgrid_spec)
 
 LANES = 128
 
@@ -92,7 +93,6 @@ def init_packed_table(key, spec: PackedHashSpec) -> jnp.ndarray:
 # Index/weight computation (cheap VPU work, stays in XLA)
 # ---------------------------------------------------------------------------
 
-_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
 
 
 def corner_indices_weights(x01: jnp.ndarray, spec: PackedHashSpec):
@@ -121,15 +121,9 @@ def corner_indices_weights(x01: jnp.ndarray, spec: PackedHashSpec):
             jnp.where(jnp.asarray([b == 1 for b in bits]), frac, 1.0 - frac),
             axis=-1,
         )                                                     # [L, N]
-        pgu = pg.astype(jnp.uint32)
-        stride = resolutions.astype(jnp.uint32) + jnp.uint32(1)
-        dense = pgu[..., 0] + stride * (pgu[..., 1] + stride * pgu[..., 2])
-        hsh = (
-            pgu[..., 0] * _PRIMES[0]
-            ^ pgu[..., 1] * _PRIMES[1]
-            ^ pgu[..., 2] * _PRIMES[2]
-        )
-        idx = (jnp.where(use_hash, hsh, dense) % sizes).astype(jnp.int32)
+        # ONE transcription of gridencoder.cu:55-70 (hash_encoding's):
+        # a second inline copy here drifted independently
+        idx = _corner_index(pg, use_hash, resolutions, sizes)
         his.append(idx >> 7)
         los.append(idx & (LANES - 1))
         ws.append(w)
@@ -186,7 +180,7 @@ def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, *out_refs):
 
 def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
     """One (level, chunk): accumulate grad_table += OH_hi^T @ (OH_lo * v);
-    lane-packed [1, SUBROWS, 256] operands like the forward."""
+    column-packed [1, 1, WIDTH, CPR] operand tiles like the forward."""
     c_dim = len(v_grad_acc) - 2             # v_refs..., grad_ref, acc_ref
     v_refs = v_grad_acc[:c_dim]
     grad_ref = v_grad_acc[c_dim]

@@ -15,13 +15,14 @@ from typing import Tuple
 
 import numpy as np
 
-# cube corner offsets (x, y, z)
+# cube corner offsets (x, y, z); int32 — corner_pos for a 256^3 grid is
+# [16M, 8, 3] and int64 doubled the single-core host's peak RSS
 _CUBE = np.array(
     [
         [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
     ],
-    np.int64,
+    np.int32,
 )
 
 # 6 tetrahedra per cube (corner indices), a standard decomposition
@@ -60,12 +61,12 @@ def _build_cases():
             # order the quad so consecutive edges share a tet face, then fan
             e0 = cross[0]
             rest = cross[1:]
-            def shares_face(e1, e2):
+            def is_opposite_edge(e1, e2):
                 s1 = set(_TET_EDGES[e1])
                 s2 = set(_TET_EDGES[e2])
-                return len(s1 & s2) == 0  # opposite edges don't share corners
+                return len(s1 & s2) == 0  # opposite edges share no corner
             # opposite edge of e0 is the one sharing no corner
-            opp = [e for e in rest if shares_face(e0, e)][0]
+            opp = [e for e in rest if is_opposite_edge(e0, e)][0]
             others = [e for e in rest if e != opp]
             quad = [e0, others[0], opp, others[1]]
             cases.append([(quad[0], quad[1], quad[2]), (quad[0], quad[2], quad[3])])
@@ -88,7 +89,8 @@ def marching_tetrahedra(
     field = np.asarray(field, np.float32)
     X, Y, Z = field.shape
     gx, gy, gz = np.meshgrid(
-        np.arange(X - 1), np.arange(Y - 1), np.arange(Z - 1), indexing="ij"
+        np.arange(X - 1, dtype=np.int32), np.arange(Y - 1, dtype=np.int32),
+        np.arange(Z - 1, dtype=np.int32), indexing="ij"
     )
     base = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)       # [C, 3]
 
@@ -120,6 +122,7 @@ def marching_tetrahedra(
             # interpolated vertex on each crossing edge used by this case
             edge_ids = sorted({e for tri in tris for e in tri})
             edge_vert_idx = {}
+            edge_pos = {}
             for e in edge_ids:
                 a, b = _TET_EDGES[e]
                 va, vb = tv[sel, a], tv[sel, b]
@@ -127,12 +130,27 @@ def marching_tetrahedra(
                 t = np.clip(t, 0.0, 1.0)[:, None]
                 p = tp[sel, a] * (1 - t) + tp[sel, b] * t
                 verts_all.append(p)
+                edge_pos[e] = p
                 edge_vert_idx[e] = v_count + np.arange(sel.size)
                 v_count += sel.size
+            # consistent OUTWARD winding (PyMCubes/save_mesh convention):
+            # the case table alone gives arbitrary order (mask m and 15-m
+            # share edge sets), so orient each triangle's normal from the
+            # inside (field > iso) corners toward the outside ones —
+            # otherwise ~half the faces point inward (signed volume ~ 0,
+            # holes under backface culling)
+            ins = [(case_mask >> i) & 1 for i in range(4)]
+            ci = np.mean(tp[sel][:, [i for i in range(4) if ins[i]]], 1)
+            co = np.mean(tp[sel][:, [i for i in range(4) if not ins[i]]], 1)
+            out_dir = co - ci                                    # [S, 3]
             for tri in tris:
-                tris_all.append(
-                    np.stack([edge_vert_idx[e] for e in tri], -1)
-                )
+                p0, p1, p2 = (edge_pos[e] for e in tri)
+                nrm = np.cross(p1 - p0, p2 - p0)
+                flip = np.sum(nrm * out_dir, -1) < 0.0
+                i0, i1, i2 = (edge_vert_idx[e] for e in tri)
+                tris_all.append(np.stack(
+                    [i0, np.where(flip, i2, i1), np.where(flip, i1, i2)],
+                    -1))
 
     if not verts_all:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)

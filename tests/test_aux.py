@@ -336,3 +336,23 @@ def test_two_process_dcn_dryrun():
                            "MULTICHIP_dcn.json")) as f:
         art = json.load(f)
     assert art["dcn_ok"] and art["processes"] == 2
+
+
+def test_marching_tets_consistent_outward_winding():
+    """Triangles must wind consistently with outward normals: the signed
+    volume of a sphere mesh equals +4/3 pi r^3 (pre-fix the case table's
+    arbitrary winding left ~half the faces inward and signed volume ~0)."""
+    from flnerf_tpu.ops.marching import marching_tetrahedra
+
+    n, r = 24, 8.0
+    g = np.arange(n) - (n - 1) / 2.0
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    field = r - np.sqrt(x * x + y * y + z * z)     # inside = field > 0
+    verts, tris = marching_tetrahedra(field, iso=0.0)
+    assert len(tris) > 0
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    signed_vol = float(np.sum(np.einsum("ij,ij->i", v0,
+                                        np.cross(v1, v2))) / 6.0)
+    true_vol = 4.0 / 3.0 * np.pi * r ** 3
+    assert signed_vol > 0.9 * true_vol, (signed_vol, true_vol)
+    assert signed_vol < 1.1 * true_vol, (signed_vol, true_vol)
