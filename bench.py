@@ -40,7 +40,10 @@ Metrics:
   7. nerf_synth_time_to_psnr20_s — the same wall-clock-to-quality
      recorder on the NeRF backend (absolute; regression tracking).
   8. ngp_synth_time_to_psnr20_s — and on the NGP backend (absolute).
-  9. quadtree_speedup_time_to_psnr — allpixel_s / quadtree_s to the
+  9. nerfpp_synth_time_to_psnr20_s / tensorf_synth_time_to_psnr20_s —
+     the same recorder on the NeRF++ and TensoRF backends (absolute),
+     completing the per-backend TPU convergence-milestone set.
+ 10. quadtree_speedup_time_to_psnr — allpixel_s / quadtree_s to the
      highest PSNR both modes reach on the synthetic scene (plenoxels
      backend, tools/ablation_quadtree.py quick mode): the paper's
      thesis measured on TPU.  Baseline: 1.0 (parity = no win).
@@ -521,6 +524,125 @@ def bench_ngp_time_to_psnr():
          n_reps=1)
 
 
+def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=10,
+                              mcfg=None, tcfg=None):
+    """NeRF++ backend wall-clock to train PSNR ``target`` on the synthetic
+    inside-the-unit-sphere scene (fg + bg cascade; absolute number; closes
+    the per-backend TPU convergence-milestone set — VERDICT r2 weak #5)."""
+    import jax
+
+    from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.data.nerfpp_dataset import make_synthetic_nerfpp_scene
+    from flnerf_tpu.models.nerfpp import NerfPPConfig
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+    from flnerf_tpu.train.nerfpp_trainer import (
+        NerfPPTrainConfig, NerfPPTrainer,
+    )
+
+    train, _ = make_synthetic_nerfpp_scene(n_train=n_train, n_test=1, H=H, W=H)
+    mcfg = mcfg or NerfPPConfig()
+    # same step shapes as bench_nerfpp so the chunk fn compile is shared
+    # when both run in one bench process
+    tcfg = tcfg or NerfPPTrainConfig(batch_size=2880, steps_per_chunk=8,
+                                     prob_sampling=False)
+
+    def budgeter():
+        return RayBudgeter(train["images"], train["origins"], train["dirs"],
+                           init_level=2, seed=0)
+
+    trainer = NerfPPTrainer(mcfg, tcfg)
+    trainer.run_epoch_rays(budgeter().gen_rays(down_scale=1),
+                           jax.random.PRNGKey(0))       # compile warmup
+    trainer = NerfPPTrainer(mcfg, tcfg)                 # fresh params
+    b = budgeter()
+
+    rec = BenchRecorder(meta={"scene": "synthetic_nerfpp",
+                              "backend": "nerfpp"})
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    tt = None
+    for epoch_id in range(1, max_epochs + 1):
+        key, sub = jax.random.split(key)
+        ep = b.gen_rays(down_scale=1)
+        stat, mse = trainer.run_epoch_rays(ep, sub)
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        rec.record(psnr=psnr, epoch=epoch_id, wall_s=time.time() - t0,
+                   rays=ep.origins.shape[0])
+        # reference cadence + small-scene floor (CLAUDE.md quadtree gotcha)
+        if epoch_id % 3 == 0:
+            b.adjust(stat, 0.02, min_area_floor=64.0)
+        tt = rec.time_to_psnr(target)
+        if tt is not None:
+            break
+    rec.save("BENCH_time_to_psnr_nerfpp.json")
+    emit(f"nerfpp_synth_time_to_psnr{int(target)}_s",
+         tt if tt is not None else -1.0, "s",
+         1.0 if tt is not None else 0.0,
+         baseline="absolute (no external reference at this scene)",
+         n_reps=1)
+    return tt
+
+
+def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=24,
+                               steps_per_iter=64):
+    """TensoRF (VM) backend wall-clock to train PSNR ``target`` via the
+    shared occupancy-marching trainer at the default 128^3 / rank-48
+    decomposition."""
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.core.metrics import mse2psnr
+    from flnerf_tpu.data.synthetic import load_synthetic_data
+    from flnerf_tpu.models.tensorf import TensoRFConfig, make_tensorf_field
+    from flnerf_tpu.rays.camera import intrinsics_matrix
+    from flnerf_tpu.render.ngp import NGPRenderConfig
+    from flnerf_tpu.train.ngp_trainer import (
+        NGPSampler, NGPTrainConfig, NGPTrainer,
+    )
+
+    images, poses, rp, hwf, i_split = load_synthetic_data(
+        n_train=n_train, n_test=1, H=H, W=H)
+    Hh, Ww, focal = hwf
+    K = intrinsics_matrix(Hh, Ww, focal)
+    tr = i_split[0]
+
+    cfg = TensoRFConfig(bound=1.5)
+    rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
+                           bound=1.5)
+    tcfg = NGPTrainConfig(max_steps=steps_per_iter * max_iters,
+                          batch_rays=4096, steps_per_chunk=16, lr=2e-2,
+                          full_refreshes=2)
+
+    def make():
+        init_fn, density_fn, rgb_fn = make_tensorf_field(cfg, jnp.bfloat16)
+        t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
+        return t, NGPSampler(images[tr], poses[tr], K, tcfg)
+
+    t, sampler = make()
+    t.fit(sampler, verbose=False, n_steps=16)           # compile warmup
+    t, sampler = make()                                 # fresh params
+
+    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "tensorf"})
+    t0 = time.time()
+    tt = None
+    for _ in range(max_iters):
+        t.fit(sampler, verbose=False, n_steps=steps_per_iter)
+        psnr = float(mse2psnr(jnp.float32(t.history[-1]["loss"])))
+        rec.record(psnr=psnr, step=int(t.state.step),
+                   wall_s=time.time() - t0)
+        tt = rec.time_to_psnr(target)
+        if tt is not None:
+            break
+    rec.save("BENCH_time_to_psnr_tensorf.json")
+    emit(f"tensorf_synth_time_to_psnr{int(target)}_s",
+         tt if tt is not None else -1.0, "s",
+         1.0 if tt is not None else 0.0,
+         baseline="absolute (no external reference at this scene)",
+         n_reps=1)
+    return tt
+
+
 def bench_quadtree_ablation():
     """The paper's thesis as a bench line: quadtree vs all-pixel
     wall-clock-to-PSNR on the plenoxels backend (quick mode; the full
@@ -552,7 +674,8 @@ def main():
     for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,
                bench_nerfpp, bench_hash_capacity, bench_hash_lattice,
                bench_time_to_psnr, bench_nerf_time_to_psnr,
-               bench_ngp_time_to_psnr, bench_quadtree_ablation):
+               bench_ngp_time_to_psnr, bench_nerfpp_time_to_psnr,
+               bench_tensorf_time_to_psnr, bench_quadtree_ablation):
         try:
             fn()
         except Exception as e:  # one failing backend must not hide the rest
