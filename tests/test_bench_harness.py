@@ -1,0 +1,51 @@
+"""The driver runs bench.py unattended on real TPU at the end of every
+round — these smokes execute the bench functions' full control flow
+(trainer setup, warmup/fresh split, recorder, artifact save, JSON emit)
+at tiny CPU shapes so a refactor can't silently break the round artifact.
+
+Only the two parameterizable time-to-PSNR lines are covered here; the
+throughput lines share their trainer paths with the e2e tests.
+"""
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.mark.slow
+def test_bench_tensorf_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    bench.bench_tensorf_time_to_psnr(H=24, n_train=4, target=5.0,
+                                     max_iters=2, steps_per_iter=8)
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "tensorf_synth_time_to_psnr5_s"
+    assert (tmp_path / "BENCH_time_to_psnr_tensorf.json").exists()
+    art = json.loads((tmp_path / "BENCH_time_to_psnr_tensorf.json").read_text())
+    assert art["meta"]["backend"] == "tensorf" and art["samples"]
+
+
+@pytest.mark.slow
+def test_bench_nerfpp_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
+    import bench
+    from flnerf_tpu.models.nerfpp import NerfPPConfig
+    from flnerf_tpu.train.nerfpp_trainer import NerfPPTrainConfig
+
+    monkeypatch.chdir(tmp_path)
+    mcfg = NerfPPConfig(netdepth=3, netwidth=48, max_freq_log2=5,
+                        max_freq_log2_viewdirs=2, cascade_samples=(16, 16))
+    tcfg = NerfPPTrainConfig(batch_size=256, steps_per_chunk=4, lrate=5e-4,
+                             prob_sampling=False, compute_dtype="float32")
+    bench.bench_nerfpp_time_to_psnr(H=24, n_train=4, target=5.0,
+                                    max_epochs=2, mcfg=mcfg, tcfg=tcfg)
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "nerfpp_synth_time_to_psnr5_s"
+    assert (tmp_path / "BENCH_time_to_psnr_nerfpp.json").exists()
+    art = json.loads((tmp_path / "BENCH_time_to_psnr_nerfpp.json").read_text())
+    assert art["meta"]["backend"] == "nerfpp" and art["samples"]
