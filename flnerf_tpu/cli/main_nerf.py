@@ -69,6 +69,15 @@ def make_parser():
     parser.add_argument("--prob_map", action="store_true",
                         help="variance-based image probability sampling")
 
+    # GUI (main_nerf.py:62-68) — headless InteractiveSession when
+    # dearpygui is absent (render/interactive.py)
+    parser.add_argument("--gui", action="store_true")
+    parser.add_argument("--W", type=int, default=1920)
+    parser.add_argument("--H", type=int, default=1080)
+    parser.add_argument("--radius", type=float, default=5.0)
+    parser.add_argument("--fovy", type=float, default=50.0)
+    parser.add_argument("--max_spp", type=int, default=64)
+
     # TPU extras
     parser.add_argument("--grid_size", type=int, default=128)
     parser.add_argument("--n_candidates", type=int, default=192)
@@ -147,6 +156,37 @@ def main(argv=None):
         bg_color=1.0, seed=args.seed, patch_size=args.patch_size,
     )
     trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg, bg_fn=bg_fn)
+
+    if args.gui:
+        # NeRFGUI mode (main_nerf.py:166-171): interactive budgeted
+        # train/preview loop.  A dearpygui window attaches iff the package
+        # is importable; otherwise the same session runs headlessly until
+        # --iters (train) or a few preview frames (--test).
+        from flnerf_tpu.render.interactive import (
+            InteractiveSession, run_dearpygui,
+        )
+
+        sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg,
+                             seed=args.seed)
+        sess = InteractiveSession(
+            trainer, sampler, W=args.W, H=args.H, radius=args.radius,
+            fovy=args.fovy, max_spp=args.max_spp)
+        sess.training = not args.test
+        try:
+            run_dearpygui(sess)
+        except ImportError:
+            if args.test:
+                for _ in range(4):
+                    out = sess.frame()
+            else:
+                while sess.step < args.iters:
+                    out = sess.frame()
+                    tr = out.get("train", {})
+                    print(f"step {sess.step} loss {tr.get('loss', 0.0):.5f} "
+                          f"downscale {out['render']['downscale']} "
+                          f"spp {out['render']['spp']}")
+                trainer.save_checkpoint(args.workspace)
+        return {"step": sess.step, "spp": sess.spp}
 
     if not args.test:
         sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg, seed=args.seed)

@@ -135,3 +135,20 @@ def test_main_nerf_smoke_split_hash(tmp_path):
     import glob
     assert glob.glob(str(tmp_path) + "/checkpoints/*.pkl")
     assert glob.glob(str(tmp_path) + "/results.txt")
+
+
+def test_main_nerf_gui_headless(tmp_path):
+    """--gui (main_nerf.py:166-171): dearpygui is absent in this image, so
+    the flag drives the headless InteractiveSession loop to --iters and
+    saves a checkpoint."""
+    from flnerf_tpu.cli.main_nerf import main as ngp_main
+
+    out = ngp_main([
+        "synthetic", "--workspace", str(tmp_path), "--synth_h", "24",
+        "--iters", "8", "--steps_per_chunk", "4", "--num_rays", "128",
+        "--n_candidates", "16", "--n_keep", "8", "--grid_size", "16",
+        "--bound", "1.5", "--gui", "--W", "32", "--H", "32",
+    ])
+    assert out["step"] >= 8
+    import glob
+    assert glob.glob(str(tmp_path) + "/checkpoints/*.pkl")
