@@ -58,6 +58,17 @@ def main(argv=None):
     )
     trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
 
+    if args.gui:
+        # dnerf/gui.py: same loop as the static GUI plus the timestamp
+        # slider (InteractiveSession.set_time); start at t=0
+        from flnerf_tpu.cli.main_nerf import run_gui
+
+        sampler = NGPSampler(
+            images[i_train], poses[i_train], K, tcfg, seed=args.seed,
+            times=times[i_train],
+        )
+        return run_gui(args, trainer, sampler, time=0.0)
+
     if not args.test:
         sampler = NGPSampler(
             images[i_train], poses[i_train], K, tcfg, seed=args.seed,

@@ -115,6 +115,37 @@ def load_ngp_dataset(args):
     return images, poses, [int(H), int(W), focal], K, i_split
 
 
+def run_gui(args, trainer, sampler, time=None):
+    """NeRFGUI mode (main_nerf.py:166-171, dnerf/gui.py): interactive
+    budgeted train/preview loop.  A dearpygui window attaches iff the
+    package is importable; otherwise the same session runs headlessly
+    until --iters (train) or a few preview frames (--test).  ``time``
+    seeds the D-NeRF timestamp slider."""
+    from flnerf_tpu.render.interactive import (
+        InteractiveSession, run_dearpygui,
+    )
+
+    sess = InteractiveSession(
+        trainer, sampler, W=args.W, H=args.H, radius=args.radius,
+        fovy=args.fovy, max_spp=args.max_spp, time=time)
+    sess.training = not args.test
+    try:
+        run_dearpygui(sess)
+    except ImportError:
+        if args.test:
+            for _ in range(4):
+                sess.frame()
+        else:
+            while sess.step < args.iters:
+                out = sess.frame()
+                tr = out.get("train", {})
+                print(f"step {sess.step} loss {tr.get('loss', 0.0):.5f} "
+                      f"downscale {out['render']['downscale']} "
+                      f"spp {out['render']['spp']}")
+            trainer.save_checkpoint(args.workspace)
+    return {"step": sess.step, "spp": sess.spp}
+
+
 def main(argv=None):
     import jax.numpy as jnp
 
@@ -158,35 +189,9 @@ def main(argv=None):
     trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg, bg_fn=bg_fn)
 
     if args.gui:
-        # NeRFGUI mode (main_nerf.py:166-171): interactive budgeted
-        # train/preview loop.  A dearpygui window attaches iff the package
-        # is importable; otherwise the same session runs headlessly until
-        # --iters (train) or a few preview frames (--test).
-        from flnerf_tpu.render.interactive import (
-            InteractiveSession, run_dearpygui,
-        )
-
         sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg,
                              seed=args.seed)
-        sess = InteractiveSession(
-            trainer, sampler, W=args.W, H=args.H, radius=args.radius,
-            fovy=args.fovy, max_spp=args.max_spp)
-        sess.training = not args.test
-        try:
-            run_dearpygui(sess)
-        except ImportError:
-            if args.test:
-                for _ in range(4):
-                    out = sess.frame()
-            else:
-                while sess.step < args.iters:
-                    out = sess.frame()
-                    tr = out.get("train", {})
-                    print(f"step {sess.step} loss {tr.get('loss', 0.0):.5f} "
-                          f"downscale {out['render']['downscale']} "
-                          f"spp {out['render']['spp']}")
-                trainer.save_checkpoint(args.workspace)
-        return {"step": sess.step, "spp": sess.spp}
+        return run_gui(args, trainer, sampler)
 
     if not args.test:
         sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg, seed=args.seed)

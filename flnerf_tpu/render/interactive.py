@@ -102,13 +102,14 @@ class InteractiveSession:
                  radius: float = 2.0, fovy: float = 60.0,
                  train_budget_ms: float = 500.0,
                  render_budget_ms: float = 200.0, max_spp: int = 64,
-                 mode: str = "image"):
+                 mode: str = "image", time: Optional[float] = None):
         self.trainer = trainer
         self.sampler = sampler
         self.W, self.H = W, H
         self.cam = OrbitCamera(W, H, r=radius, fovy=fovy)
         self.training = False
         self.mode = mode                      # 'image' | 'depth'
+        self.time = time                      # D-NeRF slider (dnerf/gui.py)
         self.train_budget_ms = train_budget_ms
         self.render_budget_ms = render_budget_ms
         self.max_spp = max_spp
@@ -170,7 +171,7 @@ class InteractiveSession:
             params, self.trainer.density_fn, self.trainer.rgb_fn,
             self.trainer.occ, self.trainer.rcfg, rH, rW, K,
             self.cam.pose[:3, :4], chunk=min(8192, rH * rW),
-            bg_fn=self.trainer.bg_fn,
+            bg_fn=self.trainer.bg_fn, time=self.time,
         )
         if downscale != 1.0:
             ry = (np.arange(self.H) * rH // self.H).clip(0, rH - 1)
@@ -223,6 +224,11 @@ class InteractiveSession:
 
     def zoom(self, delta):
         self.cam.scale(delta)
+        self.need_update = True
+
+    def set_time(self, t: float):
+        """D-NeRF time slider (dnerf/gui.py): re-render at timestamp t."""
+        self.time = float(t)
         self.need_update = True
 
     def frame(self) -> dict:

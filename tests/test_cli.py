@@ -152,3 +152,17 @@ def test_main_nerf_gui_headless(tmp_path):
     assert out["step"] >= 8
     import glob
     assert glob.glob(str(tmp_path) + "/checkpoints/*.pkl")
+
+
+def test_main_dnerf_gui_headless(tmp_path):
+    """--gui on the D-NeRF CLI: headless session with the timestamp
+    threaded into every preview render (dnerf/gui.py time slider)."""
+    from flnerf_tpu.cli.main_dnerf import main as dnerf_main
+
+    out = dnerf_main([
+        "synthetic", "--workspace", str(tmp_path), "--synth_h", "24",
+        "--iters", "8", "--steps_per_chunk", "4", "--num_rays", "128",
+        "--n_candidates", "16", "--n_keep", "8", "--grid_size", "16",
+        "--bound", "1.5", "--gui", "--W", "32", "--H", "32",
+    ])
+    assert out["step"] >= 8
