@@ -74,6 +74,16 @@ def main(argv=None):
     )
     trainer = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
 
+    if args.gui:
+        # NeRFGUI over the TensoRF field (main_tensoRF.py --gui): the
+        # shared budgeted train/preview loop; no upsample schedule in GUI
+        # mode (the reference GUI path skips it too)
+        from flnerf_tpu.cli.main_nerf import run_gui
+
+        sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg,
+                             seed=args.seed)
+        return run_gui(args, trainer, sampler)
+
     if not args.test:
         sampler = NGPSampler(images[i_train], poses[i_train], K, tcfg,
                              seed=args.seed)

@@ -166,3 +166,17 @@ def test_main_dnerf_gui_headless(tmp_path):
         "--bound", "1.5", "--gui", "--W", "32", "--H", "32",
     ])
     assert out["step"] >= 8
+
+
+def test_main_tensorf_gui_headless(tmp_path):
+    """--gui on the TensoRF CLI drives the same budgeted session."""
+    from flnerf_tpu.cli.main_tensorf import main as tensorf_main
+
+    out = tensorf_main([
+        "synthetic", "--workspace", str(tmp_path), "--synth_h", "24",
+        "--iters", "8", "--steps_per_chunk", "4", "--num_rays", "128",
+        "--n_candidates", "16", "--n_keep", "8", "--grid_size", "16",
+        "--bound", "1.5", "--gui", "--W", "32", "--H", "32",
+        "--resolution0", "16", "--resolution1", "16",
+    ])
+    assert out["step"] >= 8
