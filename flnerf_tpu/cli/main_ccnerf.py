@@ -159,6 +159,42 @@ def main(argv=None):
                          seed=args.seed)
     trainer = NGPTrainer(init_fn, fields[-1][1], fields[-1][2], rcfg, tcfg)
     steps_per_level = max(args.iters // (cfg.K * 4), tcfg.steps_per_chunk)
+
+    if args.gui:
+        # NeRFGUI over CCNeRF (main_CCNeRF.py:160-161).  The reference's
+        # network draws a random supervised level per step INSIDE forward
+        # (network_cc.py:284); here the level cycles per GUI frame (the
+        # chunk-fn memo makes swaps free after the first K compiles) and
+        # the preview always renders the full-K field.
+        from flnerf_tpu.render.interactive import (
+            InteractiveSession, run_dearpygui,
+        )
+
+        sess = InteractiveSession(
+            trainer, sampler, W=args.W, H=args.H, radius=args.radius,
+            fovy=args.fovy, max_spp=args.max_spp)
+        sess.training = not args.test
+        li = cfg.K - 1
+        try:
+            run_dearpygui(sess)
+        except ImportError:
+            if args.test:
+                for _ in range(4):
+                    sess.render_frame()
+            else:
+                while sess.step < args.iters:
+                    trainer.density_fn, trainer.rgb_fn = \
+                        fields[li][1], fields[li][2]
+                    trainer._chunk_fn = trainer._make_chunk_fn()
+                    sess.train_frame()
+                    trainer.density_fn, trainer.rgb_fn = \
+                        fields[-1][1], fields[-1][2]
+                    sess.render_frame()
+                    li = (li - 1) % cfg.K
+                _save_object(os.path.join(args.workspace, "object.pkl"),
+                             trainer.state.params, cfg)
+        return {"step": sess.step, "spp": sess.spp}
+
     if not args.test:
         t0 = _time.time()
         done = 0

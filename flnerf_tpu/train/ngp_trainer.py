@@ -282,6 +282,19 @@ class NGPTrainer:
         return occ_fn
 
     def _make_chunk_fn(self):
+        """Memoized on everything the closure bakes in: CCNeRF's level
+        cycling swaps (density_fn, rgb_fn) every few chunks, and without
+        the memo each swap re-jits an identical graph."""
+        key = (self.density_fn, self.rgb_fn, self.bg_fn, self.rcfg,
+               self.cfg)
+        memo = getattr(self, "_chunk_fn_memo", None)
+        if memo is None:
+            memo = self._chunk_fn_memo = {}
+        if key not in memo:
+            memo[key] = self._build_chunk_fn()
+        return memo[key]
+
+    def _build_chunk_fn(self):
         density_fn, rgb_fn = self.density_fn, self.rgb_fn
         rcfg, cfg, tx = self.rcfg, self.cfg, self.tx
 

@@ -168,6 +168,24 @@ def test_main_dnerf_gui_headless(tmp_path):
     assert out["step"] >= 8
 
 
+def test_main_ccnerf_gui_headless(tmp_path):
+    """--gui on the CCNeRF CLI: per-frame level cycling with full-K
+    previews; the chunk-fn memo keeps the K swaps to K compiles."""
+    from flnerf_tpu.cli.main_ccnerf import main as ccnerf_main
+
+    out = ccnerf_main([
+        "synthetic", "--num_rays", "128", "--steps_per_chunk", "4",
+        "--n_candidates", "16", "--n_keep", "8", "--grid_size", "16",
+        "--synth_h", "24", "--bound", "1.5", "--resolution0", "32",
+        "--rank_vec_density", "4", "8", "--rank_mat_density", "1", "2",
+        "--rank_vec", "4", "8", "--rank_mat", "1", "2",
+        "--iters", "8", "--workspace", str(tmp_path),
+        "--gui", "--W", "32", "--H", "32",
+    ])
+    assert out["step"] >= 8
+    assert os.path.exists(tmp_path / "object.pkl")
+
+
 def test_main_tensorf_gui_headless(tmp_path):
     """--gui on the TensoRF CLI drives the same budgeted session."""
     from flnerf_tpu.cli.main_tensorf import main as tensorf_main
