@@ -349,6 +349,12 @@ class RayBudgeter:
             # grid_sample interpolation of rgb/origins/dirs
             leaf_of_ray, pxf, pyf = self._draw_fractional_pixels(
                 forest.boxes, counts)
+            # shuffle indices BEFORE the 4-tap bilerps (bit-identical to
+            # bilerp-then-permute; saves re-permuting 4 float arrays)
+            if shuffle:
+                perm = self.rng.permutation(leaf_of_ray.shape[0])
+                leaf_of_ray = leaf_of_ray[perm]
+                pxf, pyf = pxf[perm], pyf[perm]
             img_of_ray = forest.img[leaf_of_ray]
             rgb = self._bilerp(self.images, img_of_ray, pxf, pyf)
             origins = self._bilerp(self.origins, img_of_ray, pxf, pyf)
@@ -360,13 +366,6 @@ class RayBudgeter:
             px = np.minimum(pxf.astype(np.int64), self.H - 1)
             py = np.minimum(pyf.astype(np.int64), self.W - 1)
             leaf_id = leaf_of_ray.astype(np.int32)
-            if shuffle:
-                perm = self.rng.permutation(rgb.shape[0])
-                rgb, origins, dirs, leaf_id = (
-                    rgb[perm], origins[perm], dirs[perm], leaf_id[perm])
-                px, py, img_of_ray = px[perm], py[perm], img_of_ray[perm]
-                if vdirs is not None:
-                    vdirs = vdirs[perm]
             return RayEpoch(
                 origins, dirs, rgb, leaf_id, forest.n_leaves, vdirs,
                 px.astype(np.int32), py.astype(np.int32),
@@ -375,19 +374,26 @@ class RayBudgeter:
         else:
             leaf_of_ray, px, py = self._draw_uniform_pixels(forest.boxes, counts)
 
-        img_of_ray = forest.img[leaf_of_ray]
-        rgb = self.images[img_of_ray, px, py]
-        origins = self.origins[img_of_ray, px, py]
-        dirs = self.dirs[img_of_ray, px, py]
-        vdirs = self.viewdirs[img_of_ray, px, py] if self.viewdirs is not None else None
-        leaf_id = leaf_of_ray.astype(np.int32)
-
+        # Shuffle the INDEX arrays before the big per-pixel gathers:
+        # a[idx][perm] == a[idx[perm]] exactly, and permuting 3 small int
+        # arrays is far cheaper than re-gathering rgb/origins/dirs/vdirs
+        # (at 800^2 x 8 views this takes one epoch gen 1.9 -> 1.5 s on the
+        # 1-core host; the rng call order is unchanged, so epochs are
+        # bit-identical to the gather-then-permute form).
         if shuffle:
-            perm = self.rng.permutation(rgb.shape[0])
-            rgb, origins, dirs, leaf_id = rgb[perm], origins[perm], dirs[perm], leaf_id[perm]
-            px, py, img_of_ray = px[perm], py[perm], img_of_ray[perm]
-            if vdirs is not None:
-                vdirs = vdirs[perm]
+            perm = self.rng.permutation(leaf_of_ray.shape[0])
+            leaf_of_ray, px, py = leaf_of_ray[perm], px[perm], py[perm]
+
+        img_of_ray = forest.img[leaf_of_ray]
+        # one shared flat index: 4 gathers reuse it instead of each
+        # recombining (img, px, py)
+        flat = (img_of_ray * self.H + px) * self.W + py
+        rgb = self.images.reshape(-1, 3)[flat]
+        origins = self.origins.reshape(-1, 3)[flat]
+        dirs = self.dirs.reshape(-1, 3)[flat]
+        vdirs = (self.viewdirs.reshape(-1, 3)[flat]
+                 if self.viewdirs is not None else None)
+        leaf_id = leaf_of_ray.astype(np.int32)
 
         return RayEpoch(
             origins, dirs, rgb, leaf_id, forest.n_leaves, vdirs,
