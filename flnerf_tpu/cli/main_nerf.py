@@ -88,6 +88,11 @@ def make_parser():
     # matmul-formulated kernels; >=16 the sorted-block gather engine
     # (ops/hash_sorted.py), whose cost is capacity-independent.
     parser.add_argument("--log2_hashmap_size", type=int, default=15)
+    parser.add_argument("--hash_engine", type=str, default="auto",
+                        choices=("auto", "matmul", "sorted", "lattice"),
+                        help="big-table encode engine (log2>=16): sorted-"
+                        "block (ops/hash_sorted.py) or lattice-hash "
+                        "(ops/hash_lattice.py); auto picks per DESIGN.md")
     return parser
 
 
@@ -168,6 +173,7 @@ def main(argv=None):
 
     cfg = NGPConfig(bound=args.bound, desired_resolution=2048,
                     log2_hashmap_size=args.log2_hashmap_size,
+                    hash_engine=args.hash_engine,
                     bg_radius=max(args.bg_radius, 0.0))
     compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, compute_dtype=compute_dtype)
