@@ -306,3 +306,45 @@ def find_latest_checkpoint(log_dir: str) -> Optional[str]:
         return None
     ckpts = sorted(f for f in os.listdir(log_dir) if f.endswith(".tar"))
     return os.path.join(log_dir, ckpts[-1]) if ckpts else None
+
+
+# ---------------------------------------------------------------------------
+# TPU-native checkpointing (orbax) — SURVEY §5.4's "orbax-style" slot
+# ---------------------------------------------------------------------------
+# The reference formats above are the INTEROP surface; these are the
+# production path for large/sharded state: each leaf writes as a
+# tensorstore array straight from device (a spatially-sharded voxel grid
+# saves one shard per host — no .npz host staging), and restore places
+# leaves back onto their recorded shardings.
+
+
+def abstract_like(tree):
+    """jax.Array leaves -> ShapeDtypeStruct carrying the sharding, for
+    ``load_orbax(target=...)`` restores that must land sharded."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+        if isinstance(a, jax.Array) else a,
+        tree,
+    )
+
+
+def save_orbax(path: str, tree) -> None:
+    """Write a pytree (params / trainer state NamedTuples / sharded
+    grids) as an orbax checkpoint directory at ``path``."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, target=None):
+    """Restore an orbax checkpoint.  ``target`` (e.g. ``abstract_like``
+    of a live state) restores leaves onto their shardings and rebuilds
+    NamedTuple containers; without it, plain dicts/np arrays return."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path), target)

@@ -132,3 +132,45 @@ def test_find_latest(tmp_path):
     for name in ("001.tar", "010.tar", "002.tar", "junk.txt"):
         (tmp_path / name).write_bytes(b"x")
     assert find_latest_checkpoint(str(tmp_path)).endswith("010.tar")
+
+
+def test_orbax_sharded_roundtrip(tmp_path):
+    """TPU-native orbax path (SURVEY §5.4): a trainer-state-shaped pytree
+    with a mesh-sharded grid round-trips with values, containers, AND
+    shardings intact (the production checkpoint for beyond-host grids)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from flnerf_tpu.core.checkpoint import (
+        abstract_like, load_orbax, save_orbax,
+    )
+    from flnerf_tpu.train.plenoxels_trainer import PlenoxelsState
+    from flnerf_tpu.models.voxel_sh import VoxelGrid
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    rng = np.random.default_rng(0)
+    grid = VoxelGrid(
+        density=jax.device_put(
+            jnp.asarray(rng.random((8, 4, 4)), jnp.float32), sh),
+        sh=jax.device_put(
+            jnp.asarray(rng.random((8, 4, 4, 27)), jnp.float32), sh),
+        alive=jax.device_put(jnp.ones((8, 4, 4), bool), sh),
+    )
+    state = PlenoxelsState(grid, jnp.zeros((8, 4, 4)), jnp.zeros((8, 4, 4, 27)),
+                           jnp.int32(42))
+
+    path = str(tmp_path / "orbax_ckpt")
+    save_orbax(path, state)
+    out = load_orbax(path, abstract_like(state))
+
+    assert isinstance(out, PlenoxelsState) and isinstance(out.grid, VoxelGrid)
+    assert int(out.step) == 42
+    np.testing.assert_array_equal(np.asarray(out.grid.density),
+                                  np.asarray(grid.density))
+    assert out.grid.density.sharding == sh
+    # target-free restore gives plain containers/values
+    raw = load_orbax(path)
+    np.testing.assert_array_equal(
+        np.asarray(raw["grid"]["sh"]), np.asarray(grid.sh))
