@@ -670,7 +670,40 @@ def bench_quadtree_ablation():
          "1.0 = parity)", n_reps=2)
 
 
+def _probe_device(timeout_s: int = 300) -> bool:
+    """Fast-fail when the TPU pool is unreachable: a first computation
+    then hangs INDEFINITELY at claim time (0% CPU, pre-claim — safe to
+    abort, unlike mid-compile kills; see CLAUDE.md).  Pool-up worst case
+    for this tiny matmul is one ~40 s first compile, far under the
+    alarm."""
+    import signal
+
+    import jax
+    import jax.numpy as jnp
+
+    def _handler(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(timeout_s)
+    try:
+        x = jnp.ones((128, 128), jnp.bfloat16)
+        float((x @ x).sum())
+    except TimeoutError:
+        print(json.dumps({
+            "metric": "device_probe",
+            "error": f"device unreachable after {timeout_s}s "
+                     "(TPU pool down?)"}), flush=True)
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    return True
+
+
 def main():
+    if not _probe_device():
+        return
     for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,
                bench_nerfpp, bench_hash_capacity, bench_hash_lattice,
                bench_time_to_psnr, bench_nerf_time_to_psnr,
