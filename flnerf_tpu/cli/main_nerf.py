@@ -69,6 +69,13 @@ def make_parser():
     parser.add_argument("--prob_map", action="store_true",
                         help="variance-based image probability sampling")
 
+    # text-guided training (main_nerf.py:73-74); the CLIP loss structure
+    # lives in core/clip_guidance.py behind the offline weight gate
+    parser.add_argument("--clip_text", type=str, default="")
+    parser.add_argument("--rand_pose", type=int, default=-1,
+                        help="<0 none, =0 only rand poses, >0 one rand "
+                        "pose every N known poses (provider.py:58)")
+
     # GUI (main_nerf.py:62-68) — headless InteractiveSession when
     # dearpygui is absent (render/interactive.py)
     parser.add_argument("--gui", action="store_true")
@@ -165,6 +172,23 @@ def main(argv=None):
         args.fp16 = True
         args.cuda_ray = True
         args.preload = True
+
+    if args.clip_text or args.rand_pose >= 0:
+        # rand-pose batches have no gt pixels; they train on the CLIP
+        # loss only (utils.py:429-437) — so both flags gate together
+        if not args.clip_text:
+            raise SystemExit(
+                "--rand_pose needs --clip_text: rand-pose batches have "
+                "no ground truth and train on the CLIP loss")
+        from flnerf_tpu.core.clip_guidance import clip_loss_fn
+
+        if clip_loss_fn([args.clip_text]) is None:
+            raise SystemExit(
+                "--clip_text needs a local CLIP encoder (none in this "
+                "offline environment; core/clip_guidance.py documents "
+                "the gate).  Differentiable text-guided training needs "
+                "a JAX-native encoder injected through the library API "
+                "(CLIPGuidance + rays.camera.rand_poses).")
 
     os.makedirs(args.workspace, exist_ok=True)
     images, poses, hwf, K, i_split = load_ngp_dataset(args)

@@ -46,3 +46,30 @@ def test_ndc_rays_finite_and_near_plane():
     assert np.isfinite(np.asarray(nd)).all()
     # o_z = 1 + 2*near/o_z(original at near plane) -> origin z = -near => o2 = -1
     np.testing.assert_allclose(np.asarray(no)[:, 2], -1.0, atol=1e-5)
+
+
+def test_rand_poses_orbit_geometry():
+    """rand_poses (provider.py:58-93): orthonormal c2w rotations, camera
+    centers on the radius shell within the theta range, forward pointing
+    at the origin."""
+    import numpy as np
+
+    from flnerf_tpu.rays.camera import rand_poses
+
+    rng = np.random.default_rng(0)
+    poses = rand_poses(256, rng, radius=2.0,
+                       theta_range=(np.pi / 3, 2 * np.pi / 3))
+    assert poses.shape == (256, 4, 4)
+    c = poses[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(c, axis=-1), 2.0, rtol=1e-5)
+    # theta range bounds the y (polar) coordinate: y = r cos(theta)
+    y = c[:, 1] / 2.0
+    assert (y <= np.cos(np.pi / 3) + 1e-6).all()
+    assert (y >= np.cos(2 * np.pi / 3) - 1e-6).all()
+    r = poses[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", r, r)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (256, 1, 1)),
+                               atol=1e-5)
+    # forward column (+z of the camera frame) looks at the origin
+    fwd = r[:, :, 2]
+    np.testing.assert_allclose(fwd, -c / 2.0, atol=1e-5)

@@ -198,3 +198,17 @@ def test_main_tensorf_gui_headless(tmp_path):
         "--resolution0", "16", "--resolution1", "16",
     ])
     assert out["step"] >= 8
+
+
+def test_main_nerf_clip_flags_gate():
+    """--clip_text / --rand_pose parse and gate with clear messages
+    (CLIP weights are absent offline; the loss lives behind the
+    documented gate in core/clip_guidance.py)."""
+    import pytest
+
+    from flnerf_tpu.cli.main_nerf import main as ngp_main
+
+    with pytest.raises(SystemExit, match="rand_pose needs --clip_text"):
+        ngp_main(["synthetic", "--rand_pose", "4"])
+    with pytest.raises(SystemExit, match="CLIP encoder"):
+        ngp_main(["synthetic", "--clip_text", "a red chair"])
