@@ -65,6 +65,16 @@ def parse_arguments(argv=None):
     group = parser.add_argument_group("losses")
     group.add_argument("--lambda_tv", type=float, default=1e-5)
     group.add_argument("--lambda_tv_sh", type=float, default=1e-3)
+    # MSI background optimization (argument_parser.py:95-107 + 137-140);
+    # active when --background_nlayers > 0
+    group.add_argument("--lr_sigma_bg", type=float, default=3e0)
+    group.add_argument("--lr_sigma_bg_final", type=float, default=3e-3)
+    group.add_argument("--lr_color_bg", type=float, default=1e-1)
+    group.add_argument("--lr_color_bg_final", type=float, default=5e-6)
+    group.add_argument("--lambda_tv_background_sigma", type=float,
+                       default=1e-2)
+    group.add_argument("--lambda_tv_background_color", type=float,
+                       default=1e-2)
 
     group = parser.add_argument_group("quadtree")
     group.add_argument("--init_level", type=int, default=2)
@@ -204,6 +214,12 @@ def main(argv=None):
         rms_beta=args.rms_beta,
         lambda_tv=args.lambda_tv,
         lambda_tv_sh=args.lambda_tv_sh,
+        lr_sigma_bg=args.lr_sigma_bg,
+        lr_sigma_bg_final=args.lr_sigma_bg_final,
+        lr_color_bg=args.lr_color_bg,
+        lr_color_bg_final=args.lr_color_bg_final,
+        lambda_tv_background_sigma=args.lambda_tv_background_sigma,
+        lambda_tv_background_color=args.lambda_tv_background_color,
         subdivide_every=args.subdivide_every,
         subdivide_thres=args.subdivide_thres,
         rand_samp_perc=args.randSamp_perc,
