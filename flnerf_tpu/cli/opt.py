@@ -75,6 +75,9 @@ def parse_arguments(argv=None):
                        default=1e-2)
     group.add_argument("--lambda_tv_background_color", type=float,
                        default=1e-2)
+    group.add_argument("--background_density_thresh", type=float,
+                       default=1.0,
+                       help="sparsify_background threshold (svox2.py:1431)")
 
     group = parser.add_argument_group("quadtree")
     group.add_argument("--init_level", type=int, default=2)
@@ -220,6 +223,7 @@ def main(argv=None):
         lr_color_bg_final=args.lr_color_bg_final,
         lambda_tv_background_sigma=args.lambda_tv_background_sigma,
         lambda_tv_background_color=args.lambda_tv_background_color,
+        background_density_thresh=args.background_density_thresh,
         subdivide_every=args.subdivide_every,
         subdivide_thres=args.subdivide_thres,
         rand_samp_perc=args.randSamp_perc,
