@@ -78,6 +78,10 @@ def parse_arguments(argv=None):
     group.add_argument("--background_density_thresh", type=float,
                        default=1.0,
                        help="sparsify_background threshold (svox2.py:1431)")
+    # autotune hygiene (argument_parser.py:168-171): tune_mode skips the
+    # per-epoch checkpoints, tune_nosave also skips the final one
+    group.add_argument("--tune_mode", action="store_true")
+    group.add_argument("--tune_nosave", action="store_true")
 
     group = parser.add_argument_group("quadtree")
     group.add_argument("--init_level", type=int, default=2)
@@ -234,6 +238,9 @@ def main(argv=None):
     trainer = PlenoxelsTrainer(gcfg, tcfg)
 
     def on_epoch_end(tr, epoch_id):
+        final = epoch_id == tcfg.n_epoch
+        if args.tune_nosave or (args.tune_mode and not final):
+            return  # tune runs keep only test_psnr.txt (opt.py:562-566)
         save_npz(os.path.join(args.train_dir, f"ckpt{epoch_id:02d}.npz"), tr.state.grid, tr.gcfg)
         budgeter.forest.save(os.path.join(args.train_dir, f"treeDivide_{epoch_id:04d}.pkl"))
 
