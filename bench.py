@@ -702,6 +702,8 @@ def _probe_device(timeout_s: int = 300) -> bool:
 
 
 def main():
+    from flnerf_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if not _probe_device():
         return
     for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,

@@ -83,6 +83,8 @@ def main(argv=None):
     if a.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from flnerf_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     prev = {}
     if os.path.exists(a.out):
