@@ -670,12 +670,15 @@ def bench_quadtree_ablation():
          "1.0 = parity)", n_reps=2)
 
 
-def _probe_device(timeout_s: int = 300) -> bool:
+def _probe_device(timeout_s: int = 1500) -> bool:
     """Fast-fail when the TPU pool is unreachable: a first computation
     then hangs INDEFINITELY at claim time (0% CPU, pre-claim — safe to
-    abort, unlike mid-compile kills; see CLAUDE.md).  Pool-up worst case
-    for this tiny matmul is one ~40 s first compile, far under the
-    alarm."""
+    abort, unlike mid-compile kills; see CLAUDE.md).  The alarm must
+    outlast a QUEUED claim, not just a compile: another process holding
+    the tile (or a killed one awaiting the ~9 min session reap) delays
+    the claim, and aborting then would throw away the whole bench run —
+    so wait out a reap window plus slack before declaring the pool
+    down."""
     import signal
 
     import jax
