@@ -6,63 +6,87 @@ Each line: {"metric", "value", "unit", "vs_baseline", "baseline",
 ``baseline`` states what vs_baseline divides by — an EXTERNAL published
 number where one exists, otherwise an explicit self-multiple (the
 reference publishes no rays/s for those components).  ``spread_pct`` is
-(max-min)/mean of the timed repetitions (VERDICT r2: artifacts must be
-self-explaining about measurement noise).
+(max-min)/mean of the timed repetitions or seeds (VERDICT r2: artifacts
+must be self-explaining about measurement noise).
+
+Round-4 metric change (VERDICT r3 weak #1/#2/#5): every time-to-PSNR
+metric now uses a FULL-IMAGE train-view eval, computed OFF the clock
+(only ray generation + optimizer steps are timed, like the reference's
+time_mins.txt accounting at opt.py:529).  The r2/r3 numbers used the
+train-ray MSE, which quadtree subdivision biases low (epochs concentrate
+rays on high-error leaves) — that bias, not a regression, produced the
+r3 -1.0 lines and the plenoxels 9.9->11.5 s drift.
 
 Metrics:
   1. nerf_train_rays_per_sec_per_chip — quadtree-NeRF full optimizer
      steps at the reference lego config (N_rand=1920, 64+128 samples,
-     D=8 W=256 x2) on RANDOM rays — a throughput proxy at lego shapes,
-     not a lego run (no datasets ship here).  Baseline (external):
-     nerf-pytorch ~7.1k rays/s on a 2080 Ti (lego 100K iters ~ 4h,
-     nerf-ours/README.md:49).
-  2. plenoxels_train_rays_per_sec_per_chip — fused Pallas voxel render
+     D=8 W=256 x2) on RANDOM rays.  Baseline (external): nerf-pytorch
+     ~7.1k rays/s on a 2080 Ti (nerf-ours/README.md:49).
+  2. nerf_train_achieved_tflops — the same steps as an achieved-FLOP
+     rate (matmul-only analytic count, bwd = 2x fwd), vs the 33 TFLOP/s
+     bf16 matmul rate measured on this tile (CLAUDE.md).
+  3. plenoxels_train_rays_per_sec_per_chip — fused Pallas voxel render
      full value_and_grad steps, 128^3, 512 steps, dense.  Baseline
-     (SELF-multiple): this repo's pure-XLA gather path at the identical
-     config (1,339 rays/s measured on this chip); the reference
-     publishes no rays/s for its CUDA kernel.
-  3. ngp_train_rays_per_sec_per_chip — hash-NGP trainer at torch-ngp's
-     FULL 2^19 table capacity (gridencoder grid.py:91), 4096 rays/step,
-     occupancy marching, bf16, steady-state partial grid refreshes.
-     Baseline (external): torch-ngp -O lego 97 it/s x 4096 ~ 397k rays/s
-     on a V100 (ngp-ours/readme.md:211).
-  4. nerfpp_truck_train_rays_per_sec_per_chip — NeRF++ cascade steps at
+     (SELF-multiple): this repo's pure-XLA gather path (1,339 rays/s).
+  4. ngp_train_rays_per_sec_per_chip — hash-NGP trainer at torch-ngp's
+     FULL 2^19 table capacity, 4096 rays/step, occupancy marching,
+     bf16.  Baseline (external): torch-ngp -O lego 97 it/s x 4096 ~
+     397k rays/s on a V100 (ngp-ours/readme.md:211).
+  5. ngp_train_perflop_vs_torch_ngp — the same rays/s normalized by
+     chip matmul rate (33 TFLOP/s bf16 here vs ~125 TFLOP/s fp16 V100):
+     the "fast for this chip" audit line.
+  6. nerfpp_truck_train_rays_per_sec_per_chip — NeRF++ cascade steps at
      the truck batch size.  Baseline (external): the reference's own
      cost note (45 s / 100 iters, batch 2880, 3 GPUs,
      ddp_train_nerf.py:202) ~ 2133 rays/s per GPU.
-  5. ngp_hash19_fwd_bwd_16kpts_ms — the sorted-block gather engine at
-     2^19, fwd+bwd at 16k points.  Baseline (SELF-multiple): the
-     full-matmul path extrapolated to 2^19 (linear in table rows,
-     ~146 ms from the measured 2^15 cost).
-  6. plenoxels_synth_time_to_psnr20_s — wall-clock to train PSNR 20 on
-     the synthetic scene via the public trainer API.  Baseline
-     (SELF-multiple): the same rays at the XLA path's measured rate.
-  7. nerf_synth_time_to_psnr20_s — the same wall-clock-to-quality
-     recorder on the NeRF backend (absolute; regression tracking).
-  8. ngp_synth_time_to_psnr20_s — and on the NGP backend (absolute).
-  9. nerfpp_synth_time_to_psnr20_s / tensorf_synth_time_to_psnr20_s —
-     the same recorder on the NeRF++ and TensoRF backends (absolute),
-     completing the per-backend TPU convergence-milestone set.
- 10. quadtree_speedup_time_to_psnr — allpixel_s / quadtree_s to the
-     highest PSNR both modes reach on the synthetic scene (plenoxels
-     backend, tools/ablation_quadtree.py quick mode): the paper's
-     thesis measured on TPU.  Baseline: 1.0 (parity = no win).
+  7. ngp_hash19_fwd_bwd_16kpts_ms / ngp_hash19_lattice_fwd_bwd_65kpts_ms
+     — hash-encoding engines at 2^19 capacity, slope-timed.
+  8. plenoxels/ngp/nerfpp/tensorf_synth_time_to_psnr20_s — wall-clock
+     (training only) to full-image train-view PSNR 20 per backend,
+     2 seeds where the run is cheap.
+  9. novelview_gap_db — train-view minus held-out-view PSNR after a
+     short plenoxels fit on the 32-view synthetic scene (guards eval
+     ray-gen bugs and out-of-distribution test poses; VERDICT r3 #6).
+ 10. nerf_synth_time_to_psnr20_s + quadtree_speedup_time_to_psnr — from
+     the NeRF-backend quadtree-vs-allpixel ablation
+     (tools/ablation_quadtree.py, 2 seeds, early-stopped): the paper's
+     thesis (reference README.md:12-13) measured on TPU.  The speedup
+     is reported at the HIGHEST PSNR threshold that both arms reach in
+     both seeds — the few-ray win lives in the high-PSNR regime
+     (BENCH_ablation_quadtree.json: 1.17x at 28 -> 2.41x at 34).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+_FAILED = []  # metrics that emitted an error or a -1 sentinel
+
 
 def emit(metric, value, unit, vs_baseline, baseline="", n_reps=1,
          spread_pct=0.0):
+    if float(value) < 0:
+        _FAILED.append(metric)
     print(json.dumps({
         "metric": metric, "value": round(float(value), 1), "unit": unit,
         "vs_baseline": round(float(vs_baseline), 2),
         "baseline": baseline, "n_reps": int(n_reps),
         "spread_pct": round(float(spread_pct), 1),
     }), flush=True)
+
+
+def emit_error(metric, err):
+    _FAILED.append(metric)
+    print(json.dumps({"metric": metric, "error": str(err)[:200]}),
+          flush=True)
+
+
+def _spread(vals):
+    m = sum(vals) / len(vals)
+    return 100.0 * (max(vals) - min(vals)) / max(abs(m), 1e-12)
 
 
 def _rep_stats(fn, n_reps, sync):
@@ -72,9 +96,22 @@ def _rep_stats(fn, n_reps, sync):
         t0 = time.perf_counter()
         sync(fn(i))
         ts.append(time.perf_counter() - t0)
-    mean = sum(ts) / len(ts)
-    spread = 100.0 * (max(ts) - min(ts)) / max(mean, 1e-12)
-    return sum(ts), spread
+    return sum(ts), _spread(ts)
+
+
+# ---------------------------------------------------------------------------
+# Throughput benches
+# ---------------------------------------------------------------------------
+
+def _nerf_train_flops_per_ray(rc, W=256, in_pts=63, in_views=27):
+    """Matmul-only analytic FLOPs of one trained ray: coarse net over
+    n_samples points + fine net over n_samples+n_importance, fwd 2*sum
+    (in*out), bwd counted as 2x fwd (the dW and dX GEMMs)."""
+    s = in_pts * W + 4 * W * W + (W + in_pts) * W + 2 * W * W  # trunk, skip@4
+    s += W * W + W * 1 + (in_views + W) * (W // 2) + (W // 2) * 3
+    fwd = 2.0 * s
+    pts = rc.n_samples + (rc.n_samples + rc.n_importance)
+    return 3.0 * fwd * pts
 
 
 def bench_nerf():
@@ -116,6 +153,11 @@ def bench_nerf():
          rps / 7111.0, baseline="external: nerf-pytorch 2080Ti 7.1k rays/s"
          " (random-ray proxy at the lego config)", n_reps=n_timed,
          spread_pct=spread)
+    tflops = rps * _nerf_train_flops_per_ray(rc) / 1e12
+    emit("nerf_train_achieved_tflops", tflops, "TFLOP/s", tflops / 33.0,
+         baseline="measured 33 TFLOP/s bf16 matmul rate on this tile "
+         "(4096^3 probe, CLAUDE.md); matmul-only count, bwd = 2x fwd",
+         n_reps=n_timed, spread_pct=spread)
 
 
 def bench_plenoxels_kernel():
@@ -176,7 +218,8 @@ def bench_plenoxels_kernel():
          n_reps=iters, spread_pct=spread)
 
 
-def _ngp_trainer(log2=19, synth_h=64, engine="auto", batch_rays=4096):
+def _ngp_trainer(log2=19, synth_h=64, engine="auto", batch_rays=4096,
+                 seed=0):
     import jax.numpy as jnp
 
     from flnerf_tpu.data.synthetic import load_synthetic_data
@@ -200,15 +243,15 @@ def _ngp_trainer(log2=19, synth_h=64, engine="auto", batch_rays=4096):
     rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
                            bound=1.5)
     tcfg = NGPTrainConfig(max_steps=48, batch_rays=batch_rays,
-                          steps_per_chunk=16, full_refreshes=2)
+                          steps_per_chunk=16, full_refreshes=2, seed=seed)
     t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
-    sampler = NGPSampler(images[tr], poses[tr], K, tcfg)
+    sampler = NGPSampler(images[tr], poses[tr], K, tcfg, seed=seed)
     return t, sampler, tcfg
 
 
 def bench_ngp():
     """Trainer throughput at torch-ngp's FULL 2^19 capacity (its default;
-    the sorted-block engine makes capacity ~free on TPU).  Steady-state
+    the engine formulation makes capacity ~free on TPU).  Steady-state
     partial occupancy refreshes (full 128^3 sweeps amortize to nothing
     over a real 30k-step run)."""
     import jax
@@ -226,6 +269,13 @@ def bench_ngp():
          rps / 397312.0,
          baseline="external: torch-ngp -O lego 97 it/s x 4096 rays on "
          "V100 at the same 2^19 capacity (ngp-ours/readme.md:211)",
+         n_reps=reps, spread_pct=spread)
+    # per-flop audit: rays/s per TFLOP/s of chip matmul rate, vs the same
+    # ratio for torch-ngp on a V100 (397k / ~125 fp16 TFLOP/s)
+    perflop = (rps / 33.0) / (397312.0 / 125.0)
+    emit("ngp_train_perflop_vs_torch_ngp", perflop, "x", perflop,
+         baseline="rays/s normalized by chip matmul rate (33 TFLOP/s "
+         "bf16 here vs ~125 fp16 V100); 1.0 = per-flop parity",
          n_reps=reps, spread_pct=spread)
 
 
@@ -247,8 +297,11 @@ def bench_nerfpp():
     n_rays = tcfg.batch_size * tcfg.steps_per_chunk
     rng = np.random.default_rng(0)
     o = np.tile(np.array([[0.0, 0.5, 3.0]], np.float32), (n_rays, 1))
-    d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.15
-    d[:, 2] -= 1.0
+    # every ray must enter the unit sphere (the reference raises
+    # otherwise, ddp_train_nerf.py:65-66): aim at points drawn inside
+    # |p| < 0.7 — r3 shipped sigma-scattered dirs whose tail missed
+    targets = rng.uniform(-0.4, 0.4, (n_rays, 3)).astype(np.float32)
+    d = targets - o
     epoch = RayEpoch(
         origins=o, dirs=d / np.linalg.norm(d, axis=-1, keepdims=True),
         rgb=rng.random((n_rays, 3)).astype(np.float32),
@@ -359,177 +412,159 @@ def bench_hash_lattice():
          n_reps=2, spread_pct=spread)
 
 
-def bench_time_to_psnr():
+# ---------------------------------------------------------------------------
+# Time-to-PSNR benches (full-image train-view eval, training-only clock)
+# ---------------------------------------------------------------------------
+
+def bench_time_to_psnr(seeds=(0, 1), H=64, reso=96, n_train=8,
+                       target=20.0, early_stop=22.0, n_epoch=12):
+    """Plenoxels wall-clock to full-image train-view PSNR ``target``."""
+    import jax
+    import jax.numpy as jnp
+
     from flnerf_tpu.core.benchmark import BenchRecorder
+    from flnerf_tpu.core.compile_cache import cache_entries
     from flnerf_tpu.data.synthetic import load_synthetic_data
-    from flnerf_tpu.models.voxel_sh import VoxelGridConfig
+    from flnerf_tpu.models.voxel_sh import VoxelGridConfig, init_voxel_grid
     from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix
     from flnerf_tpu.rays.quadtree import RayBudgeter
     from flnerf_tpu.train.plenoxels_trainer import (
-        PlenoxelsTrainConfig, PlenoxelsTrainer,
+        PlenoxelsState, PlenoxelsTrainConfig, PlenoxelsTrainer,
     )
 
     images, poses, rp, hwf, i_split = load_synthetic_data(
-        n_train=8, n_test=1, H=64, W=64)
+        n_train=n_train, n_test=1, H=H, W=H)
     H, W, focal = hwf
     K = intrinsics_matrix(H, W, focal)
     tr = i_split[0]
     o = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[tr]], 0)
     d = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[tr]], 0)
-    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
 
     gcfg = VoxelGridConfig(
-        reso=(96, 96, 96), radius=(1.2,) * 3, max_steps=256, step_size=0.7,
+        reso=(reso,) * 3, radius=(1.2,) * 3, max_steps=256, step_size=0.7,
         init_sigma=0.1,
     )
     tcfg = PlenoxelsTrainConfig(
-        n_epoch=6, batch_size=4096, steps_per_chunk=8,
+        n_epoch=n_epoch, batch_size=4096, steps_per_chunk=8,
         lr_sigma=1e1, lr_sh=1e-2, lr_sigma_delay_steps=0,
         subdivide_every=1, subdivide_thres=0.05, use_kernel=True,
     )
     trainer = PlenoxelsTrainer(gcfg, tcfg)
-
-    import jax
-    import jax.numpy as jnp
+    entries_before = cache_entries()
 
     tc0 = time.time()
-    warm = budgeter.gen_rays(down_scale=1)
-    trainer.run_epoch_rays(warm)
+    warm_b = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
+    trainer.run_epoch_rays(warm_b.gen_rays(down_scale=1))
+    trainer.eval_images(poses[tr][:1], images[tr][:1], H, W, K, chunk=4096)
     compile_s = time.time() - tc0
-    from flnerf_tpu.models.voxel_sh import init_voxel_grid
-    from flnerf_tpu.train.plenoxels_trainer import PlenoxelsState
-    g0 = init_voxel_grid(gcfg)
-    trainer.state = jax.device_put(
-        PlenoxelsState(g0, jnp.zeros_like(g0.density),
-                       jnp.zeros_like(g0.sh), jnp.int32(0)))
-    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
 
-    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "plenoxels",
-                              "cold_start_compile_s": round(compile_s, 1)})
-    total_rays = [0]
+    tts, total_rays = [], []
+    rec0 = None
+    for seed in seeds:
+        g0 = init_voxel_grid(gcfg)
+        trainer.state = jax.device_put(
+            PlenoxelsState(g0, jnp.zeros_like(g0.density),
+                           jnp.zeros_like(g0.sh), jnp.int32(0)))
+        budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
+        rec = BenchRecorder(meta={
+            "scene": "synthetic", "backend": "plenoxels", "seed": seed,
+            "psnr_kind": "full-image train-view eval (off the clock)",
+            "warm_compile_s": round(compile_s, 1),
+            "compile_cache_entries_before": entries_before})
+        rays = 0
+        train_s = 0.0
+        for epoch_id in range(1, tcfg.n_epoch + 1):
+            t0 = time.time()
+            ep = budgeter.gen_rays(down_scale=1)
+            rays += ep.origins.shape[0]
+            stat, _ = trainer.run_epoch_rays(ep)
+            budgeter.adjust(stat, tcfg.subdivide_thres,
+                            min_area_floor=budgeter.starvation_floor())
+            train_s += time.time() - t0
+            psnr, _ = trainer.eval_images(poses[tr][:1], images[tr][:1],
+                                          H, W, K, chunk=4096)
+            rec.record(psnr=psnr, epoch=epoch_id, wall_s=train_s,
+                       rays=ep.origins.shape[0])
+            if psnr >= early_stop:
+                break
+        tts.append(rec.time_to_psnr(target))
+        total_rays.append(rays)
+        rec0 = rec0 or rec
+    rec0.meta["tts_per_seed"] = [None if t is None else round(t, 2)
+                                 for t in tts]
+    rec0.save("BENCH_time_to_psnr.json")
+    good = [t for t in tts if t is not None]
+    metric = f"plenoxels_synth_time_to_psnr{int(target)}_s"
+    if not good:
+        emit(metric, -1.0, "s", 0.0)
+        return
+    tt = sum(good) / len(good)
+    xla_equiv = (sum(total_rays) / len(total_rays)) / 1339.0
+    emit(metric, tt, "s", xla_equiv / tt,
+         baseline="SELF-multiple: same rays at the XLA path's rate; "
+         "metric changed r4 to full-image train-view eval (r2/r3 used "
+         "the quadtree-biased train-ray MSE)",
+         n_reps=len(good), spread_pct=_spread(good) if len(good) > 1 else 0.0)
 
-    t0 = time.time()
-    for epoch_id in range(1, tcfg.n_epoch + 1):
-        last = epoch_id == tcfg.n_epoch
-        ep = budgeter.gen_rays(down_scale=1, last_epoch=last)
-        total_rays[0] += ep.origins.shape[0]
-        stat, mse = trainer.run_epoch_rays(ep)
-        psnr = -10.0 * np.log10(max(mse, 1e-12))
-        rec.record(psnr=psnr, epoch=epoch_id, wall_s=time.time() - t0,
-                   rays=ep.origins.shape[0])
-        if epoch_id < tcfg.n_epoch - 1:
-            budgeter.adjust(stat, tcfg.subdivide_thres)
-        if psnr >= 20.0:
-            break
-    tt = rec.time_to_psnr(20.0)
-    rec.save("BENCH_time_to_psnr.json")
-    if tt is None:
-        emit("plenoxels_synth_time_to_psnr20_s", -1.0, "s", 0.0)
-    else:
-        xla_equiv = total_rays[0] / 1339.0
-        emit("plenoxels_synth_time_to_psnr20_s", tt, "s", xla_equiv / tt,
-             baseline="SELF-multiple: same rays at the XLA path's rate",
-             n_reps=1)
 
-
-def bench_nerf_time_to_psnr():
-    """NeRF backend wall-clock to train PSNR 20 on the synthetic scene
-    (absolute number; tracks convergence regressions on real TPU)."""
+def bench_ngp_time_to_psnr(seeds=(0, 1), synth_h=64, target=20.0,
+                           max_iters=48, steps_per_iter=32, log2=19):
+    """NGP backend wall-clock to full-image train-view PSNR (2^19)."""
     import jax
-    import jax.numpy as jnp
 
     from flnerf_tpu.core.benchmark import BenchRecorder
     from flnerf_tpu.data.synthetic import load_synthetic_data
-    from flnerf_tpu.models.nerf_mlp import make_nerf_field
-    from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix
-    from flnerf_tpu.rays.quadtree import RayBudgeter
-    from flnerf_tpu.render.renderer import RenderConfig
-    from flnerf_tpu.train.trainer import NerfTrainer, TrainConfig
+    from flnerf_tpu.rays.camera import intrinsics_matrix
 
     images, poses, rp, hwf, i_split = load_synthetic_data(
-        n_train=8, n_test=1, H=64, W=64)
+        n_train=8, n_test=1, H=synth_h, W=synth_h)
     H, W, focal = hwf
     K = intrinsics_matrix(H, W, focal)
     tr = i_split[0]
-    o = np.stack([get_rays_np(H, W, K, p[:3, :4])[0] for p in poses[tr]], 0)
-    d = np.stack([get_rays_np(H, W, K, p[:3, :4])[1] for p in poses[tr]], 0)
 
-    init_fn, query_fn = make_nerf_field(
-        multires=10, multires_views=4, netdepth=8, netwidth=256,
-        compute_dtype=jnp.bfloat16)
-    rc = RenderConfig(n_samples=64, n_importance=128, near=2.0, far=6.0,
-                      white_bkgd=True)
-    tc = TrainConfig(n_rand=1920, steps_per_chunk=16, precrop_iters=0)
-
-    trainer = NerfTrainer(query_fn, init_fn, rc, tc)
-    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
-    trainer.run_epoch_rays(budgeter.gen_rays(down_scale=1),
-                           jax.random.PRNGKey(0))      # compile warmup
-    trainer = NerfTrainer(query_fn, init_fn, rc, tc)   # fresh params
-    budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
-
-    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "nerf"})
-    key = jax.random.PRNGKey(1)
-    t0 = time.time()
-    tt = None
-    for epoch_id in range(1, 13):
-        key, sub = jax.random.split(key)
-        ep = budgeter.gen_rays(down_scale=1)
-        stat, mse = trainer.run_epoch_rays(ep, sub)
-        psnr = -10.0 * np.log10(max(mse, 1e-12))
-        rec.record(psnr=psnr, epoch=epoch_id, wall_s=time.time() - t0,
-                   rays=ep.origins.shape[0])
-        # reference cadence (configs/lego.txt:26 subdivide_every=3) + the
-        # 64-px floor: every-epoch subdivision at a 64x64 scene starves
-        # the hard leaves within ~6 rounds (CLAUDE.md quadtree gotcha)
-        if epoch_id % 3 == 0:
-            budgeter.adjust(stat, 0.02, min_area_floor=64.0)
-        tt = rec.time_to_psnr(20.0)
-        if tt is not None:
-            break
-    rec.save("BENCH_time_to_psnr_nerf.json")
-    emit("nerf_synth_time_to_psnr20_s", tt if tt is not None else -1.0,
-         "s", 1.0 if tt is not None else 0.0,
-         baseline="absolute (no external reference at this scene)",
-         n_reps=1)
-
-
-def bench_ngp_time_to_psnr():
-    """NGP backend wall-clock to train PSNR 20 (2^19 capacity)."""
-    import jax
-
-    t, sampler, tcfg = _ngp_trainer(log2=19)
+    t, sampler, tcfg = _ngp_trainer(log2=log2, synth_h=synth_h)
     t.fit(sampler, verbose=False, n_steps=16)          # compile warmup
-    t2, sampler2, _ = _ngp_trainer(log2=19)            # fresh params
-    from flnerf_tpu.core.benchmark import BenchRecorder
-    from flnerf_tpu.core.metrics import mse2psnr
-    import jax.numpy as jnp
+    t.eval_images(poses[tr][:1], images[tr][:1], H, W, K)
 
-    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "ngp"})
-    t2.cfg = tcfg._replace(max_steps=2048)
-    t0 = time.time()
-    tt = None
-    for it in range(24):
-        t2.fit(sampler2, verbose=False, n_steps=64)
-        psnr = float(mse2psnr(jnp.float32(t2.history[-1]["loss"])))
-        rec.record(psnr=psnr, step=int(t2.state.step),
-                   wall_s=time.time() - t0)
-        tt = rec.time_to_psnr(20.0)
-        if tt is not None:
-            break
-    rec.save("BENCH_time_to_psnr_ngp.json")
-    emit("ngp_synth_time_to_psnr20_s", tt if tt is not None else -1.0,
-         "s", 1.0 if tt is not None else 0.0,
-         baseline="absolute (no external reference at this scene)",
-         n_reps=1)
+    tts = []
+    rec0 = None
+    for seed in seeds:
+        t2, sampler2, _ = _ngp_trainer(log2=log2, synth_h=synth_h,
+                                       seed=seed)   # fresh params
+        rec = BenchRecorder(meta={
+            "scene": "synthetic", "backend": "ngp", "seed": seed,
+            "psnr_kind": "full-image train-view eval (off the clock)"})
+        t2.cfg = tcfg._replace(max_steps=max_iters * steps_per_iter)
+        train_s = 0.0
+        for it in range(max_iters):
+            t0 = time.time()
+            t2.fit(sampler2, verbose=False, n_steps=steps_per_iter)
+            train_s += time.time() - t0
+            psnr, _ = t2.eval_images(poses[tr][:1], images[tr][:1], H, W, K)
+            rec.record(psnr=psnr, step=int(t2.state.step), wall_s=train_s)
+            if psnr >= target + 2.0:
+                break
+        tts.append(rec.time_to_psnr(target))
+        rec0 = rec0 or rec
+    rec0.meta["tts_per_seed"] = [None if t is None else round(t, 2)
+                                 for t in tts]
+    rec0.save("BENCH_time_to_psnr_ngp.json")
+    good = [t for t in tts if t is not None]
+    emit(f"ngp_synth_time_to_psnr{int(target)}_s",
+         sum(good) / len(good) if good else -1.0, "s",
+         1.0 if good else 0.0,
+         baseline="absolute (no external reference at this scene); "
+         "full-image train-view eval, training-only clock",
+         n_reps=max(len(good), 1),
+         spread_pct=_spread(good) if len(good) > 1 else 0.0)
 
 
-def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=10,
-                              mcfg=None, tcfg=None):
-    """NeRF++ backend wall-clock to train PSNR ``target`` on the synthetic
-    inside-the-unit-sphere scene (fg + bg cascade; absolute number; closes
-    the per-backend TPU convergence-milestone set — VERDICT r2 weak #5)."""
+def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
+                              budget_s=150.0, mcfg=None, tcfg=None):
+    """NeRF++ wall-clock to full-image train-view PSNR ``target`` on the
+    synthetic inside-the-unit-sphere scene (fg + bg cascade)."""
     import jax
+    import jax.numpy as jnp
 
     from flnerf_tpu.core.benchmark import BenchRecorder
     from flnerf_tpu.data.nerfpp_dataset import make_synthetic_nerfpp_scene
@@ -539,60 +574,71 @@ def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=10,
         NerfPPTrainConfig, NerfPPTrainer,
     )
 
-    train, _ = make_synthetic_nerfpp_scene(n_train=n_train, n_test=1, H=H, W=H)
+    train, _ = make_synthetic_nerfpp_scene(n_train=n_train, n_test=1,
+                                           H=H, W=H)
     mcfg = mcfg or NerfPPConfig()
     # same step shapes as bench_nerfpp so the chunk fn compile is shared
-    # when both run in one bench process
     tcfg = tcfg or NerfPPTrainConfig(batch_size=2880, steps_per_chunk=8,
                                      prob_sampling=False)
+    ro0 = jnp.asarray(train["origins"][0].reshape(-1, 3))
+    rd0 = jnp.asarray(train["dirs"][0].reshape(-1, 3))
+    gt0 = train["images"][0].reshape(-1, 3)
 
-    def budgeter():
+    def budgeter(seed=0):
         return RayBudgeter(train["images"], train["origins"], train["dirs"],
-                           init_level=2, seed=0)
+                           init_level=2, seed=seed)
+
+    def eval_psnr(tr):
+        rgb = np.asarray(tr._eval_rays(ro0, rd0, chunk=4096))
+        mse = float(np.mean((rgb - gt0) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
 
     trainer = NerfPPTrainer(mcfg, tcfg)
     trainer.run_epoch_rays(budgeter().gen_rays(down_scale=1),
                            jax.random.PRNGKey(0))       # compile warmup
+    eval_psnr(trainer)
     trainer = NerfPPTrainer(mcfg, tcfg)                 # fresh params
     b = budgeter()
 
-    rec = BenchRecorder(meta={"scene": "synthetic_nerfpp",
-                              "backend": "nerfpp"})
+    rec = BenchRecorder(meta={
+        "scene": "synthetic_nerfpp", "backend": "nerfpp",
+        "psnr_kind": "full-image train-view eval (off the clock)"})
     key = jax.random.PRNGKey(1)
-    t0 = time.time()
+    train_s = 0.0
     tt = None
     for epoch_id in range(1, max_epochs + 1):
         key, sub = jax.random.split(key)
+        t0 = time.time()
         ep = b.gen_rays(down_scale=1)
-        stat, mse = trainer.run_epoch_rays(ep, sub)
-        psnr = -10.0 * np.log10(max(mse, 1e-12))
-        rec.record(psnr=psnr, epoch=epoch_id, wall_s=time.time() - t0,
-                   rays=ep.origins.shape[0])
-        # reference cadence + small-scene floor (CLAUDE.md quadtree gotcha)
+        stat, _ = trainer.run_epoch_rays(ep, sub)
+        # reference cadence + derived starvation floor (quadtree.py)
         if epoch_id % 3 == 0:
-            b.adjust(stat, 0.02, min_area_floor=64.0)
+            b.adjust(stat, 0.02, min_area_floor=b.starvation_floor())
+        train_s += time.time() - t0
+        psnr = eval_psnr(trainer)
+        rec.record(psnr=psnr, epoch=epoch_id, wall_s=train_s,
+                   rays=ep.origins.shape[0])
         tt = rec.time_to_psnr(target)
-        if tt is not None:
+        if tt is not None or train_s > budget_s:
             break
     rec.save("BENCH_time_to_psnr_nerfpp.json")
     emit(f"nerfpp_synth_time_to_psnr{int(target)}_s",
          tt if tt is not None else -1.0, "s",
          1.0 if tt is not None else 0.0,
-         baseline="absolute (no external reference at this scene)",
+         baseline="absolute (no external reference at this scene); "
+         "full-image train-view eval, training-only clock",
          n_reps=1)
     return tt
 
 
-def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=24,
-                               steps_per_iter=64):
-    """TensoRF (VM) backend wall-clock to train PSNR ``target`` via the
-    shared occupancy-marching trainer at the default 128^3 / rank-48
-    decomposition."""
+def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
+                               steps_per_iter=32, seeds=(0, 1)):
+    """TensoRF (VM) wall-clock to full-image train-view PSNR ``target``
+    via the shared occupancy-marching trainer (128^3, rank 48)."""
     import jax
     import jax.numpy as jnp
 
     from flnerf_tpu.core.benchmark import BenchRecorder
-    from flnerf_tpu.core.metrics import mse2psnr
     from flnerf_tpu.data.synthetic import load_synthetic_data
     from flnerf_tpu.models.tensorf import TensoRFConfig, make_tensorf_field
     from flnerf_tpu.rays.camera import intrinsics_matrix
@@ -614,60 +660,136 @@ def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=24,
                           batch_rays=4096, steps_per_chunk=16, lr=2e-2,
                           full_refreshes=2)
 
-    def make():
+    def make(seed=0):
         init_fn, density_fn, rgb_fn = make_tensorf_field(cfg, jnp.bfloat16)
-        t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)
-        return t, NGPSampler(images[tr], poses[tr], K, tcfg)
+        t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg,
+                       tcfg._replace(seed=seed))
+        return t, NGPSampler(images[tr], poses[tr], K, tcfg, seed=seed)
 
     t, sampler = make()
     t.fit(sampler, verbose=False, n_steps=16)           # compile warmup
-    t, sampler = make()                                 # fresh params
+    t.eval_images(poses[tr][:1], images[tr][:1], Hh, Ww, K)
 
-    rec = BenchRecorder(meta={"scene": "synthetic", "backend": "tensorf"})
-    t0 = time.time()
-    tt = None
-    for _ in range(max_iters):
-        t.fit(sampler, verbose=False, n_steps=steps_per_iter)
-        psnr = float(mse2psnr(jnp.float32(t.history[-1]["loss"])))
-        rec.record(psnr=psnr, step=int(t.state.step),
-                   wall_s=time.time() - t0)
-        tt = rec.time_to_psnr(target)
-        if tt is not None:
-            break
-    rec.save("BENCH_time_to_psnr_tensorf.json")
+    tts = []
+    rec0 = None
+    for seed in seeds:
+        t, sampler = make(seed)
+        rec = BenchRecorder(meta={
+            "scene": "synthetic", "backend": "tensorf", "seed": seed,
+            "psnr_kind": "full-image train-view eval (off the clock)"})
+        train_s = 0.0
+        for _ in range(max_iters):
+            t0 = time.time()
+            t.fit(sampler, verbose=False, n_steps=steps_per_iter)
+            train_s += time.time() - t0
+            psnr, _ = t.eval_images(poses[tr][:1], images[tr][:1],
+                                    Hh, Ww, K)
+            rec.record(psnr=psnr, step=int(t.state.step), wall_s=train_s)
+            if psnr >= target + 2.0:
+                break
+        tts.append(rec.time_to_psnr(target))
+        rec0 = rec0 or rec
+    rec0.meta["tts_per_seed"] = [None if t is None else round(t, 2)
+                                 for t in tts]
+    rec0.save("BENCH_time_to_psnr_tensorf.json")
+    good = [t for t in tts if t is not None]
     emit(f"tensorf_synth_time_to_psnr{int(target)}_s",
-         tt if tt is not None else -1.0, "s",
-         1.0 if tt is not None else 0.0,
-         baseline="absolute (no external reference at this scene)",
+         sum(good) / len(good) if good else -1.0, "s",
+         1.0 if good else 0.0,
+         baseline="absolute (no external reference at this scene); "
+         "full-image train-view eval, training-only clock",
+         n_reps=max(len(good), 1),
+         spread_pct=_spread(good) if len(good) > 1 else 0.0)
+    return tts
+
+
+def bench_novelview_gap(budget_s=45.0, H=64, reso=96, n_train=32,
+                        early_stop=23.0, healthy_below=4.0):
+    """Held-out-view health gate (VERDICT r3 #6): short plenoxels fit on
+    the 32-view synthetic scene, then train-view minus test-view PSNR.
+    Catches eval ray-gen bugs and out-of-distribution test poses — a
+    healthy fit keeps the gap small at this view density."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.ablation_quadtree import run_plenoxels, eval_split
+
+    rec = run_plenoxels("quadtree", budget_s=budget_s, H=H, reso=reso,
+                        n_train=n_train, early_stop_psnr=early_stop)
+    train_psnr, test_psnr = eval_split(rec)
+    gap = train_psnr - test_psnr
+    emit("novelview_gap_db", gap, "dB",
+         1.0 if gap < healthy_below else 0.0,
+         baseline=f"train-view {train_psnr:.1f} dB vs held-out "
+         f"{test_psnr:.1f} dB after a {budget_s:.0f} s plenoxels fit, "
+         f"{n_train}-view synthetic scene; healthy < {healthy_below} dB",
          n_reps=1)
-    return tt
+    return gap
 
 
-def bench_quadtree_ablation():
-    """The paper's thesis as a bench line: quadtree vs all-pixel
-    wall-clock-to-PSNR on the plenoxels backend (quick mode; the full
-    two-backend artifact is tools/ablation_quadtree.py)."""
-    import sys as _sys
-    import os as _os
+def bench_nerf_ablation(seeds=(0, 1), budget_s=210.0, early_stop=30.3,
+                        H=96, n_train=32,
+                        thresholds=(20, 22, 24, 26, 28, 30, 32),
+                        run_kwargs=None):
+    """NeRF-backend quadtree-vs-allpixel ablation: emits the nerf
+    time-to-PSNR20 (quadtree arm) and returns the speedup payload for
+    the final line.  Both arms: identical seed/scene/eval, training-only
+    clock, full-image train-view eval off the clock."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.ablation_quadtree import run_nerf, speedups
 
-    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-    from tools.ablation_quadtree import run_plenoxels, speedups
+    thresholds = list(thresholds)
+    curves = {}
+    tts, sps = [], []
+    run_kwargs = run_kwargs or {}
+    for seed in seeds:
+        rq = run_nerf("quadtree", budget_s=budget_s, seed=seed, H=H,
+                      n_train=n_train, early_stop_psnr=early_stop,
+                      **run_kwargs)
+        ra = run_nerf("allpixel", budget_s=budget_s, seed=seed, H=H,
+                      n_train=n_train, early_stop_psnr=early_stop,
+                      **run_kwargs)
+        tts.append(rq.time_to_psnr(min(thresholds)))
+        sps.append(speedups(rq, ra, thresholds))
+        curves[f"seed{seed}"] = {"quadtree": rq.samples,
+                                 "allpixel": ra.samples,
+                                 "meta": [rq.meta, ra.meta]}
+    with open("BENCH_ablation_quadtree.json", "w") as f:
+        json.dump({"curves": {"nerf": curves},
+                   "speedups": {"nerf": sps},
+                   "thresholds": thresholds}, f, indent=1)
 
-    rq = run_plenoxels("quadtree", budget_s=80.0, H=64, reso=96, n_train=32)
-    ra = run_plenoxels("allpixel", budget_s=80.0, H=64, reso=96, n_train=32)
-    sp = speedups(rq, ra, [16, 18, 20, 22, 24, 26, 28, 30])
-    best = None
-    for t in (30, 28, 26, 24, 22, 20, 18, 16):  # highest crossed threshold
-        if f"psnr_{t}" in sp:
-            best = (f"psnr_{t}", sp[f"psnr_{t}"])
-            break
-    if best is None:
+    good = [t for t in tts if t is not None]
+    emit(f"nerf_synth_time_to_psnr{int(min(thresholds))}_s",
+         sum(good) / len(good) if good else -1.0, "s",
+         1.0 if good else 0.0,
+         baseline="absolute (no external reference at this scene); "
+         "quadtree arm of the ablation, full-image train-view eval, "
+         "training-only clock (incl. precrop warmup)",
+         n_reps=max(len(good), 1),
+         spread_pct=_spread(good) if len(good) > 1 else 0.0)
+
+    # highest threshold reached by BOTH arms in ALL seeds
+    for t in reversed(thresholds):
+        key = f"psnr_{t}"
+        if all(key in sp for sp in sps):
+            vals = [sp[key] for sp in sps]
+            return {"value": sum(vals) / len(vals), "threshold": t,
+                    "n": len(vals),
+                    "spread": _spread(vals) if len(vals) > 1 else 0.0}
+    return None
+
+
+def emit_quadtree_speedup(payload):
+    if payload is None:
         emit("quadtree_speedup_time_to_psnr", -1.0, "x", 0.0,
-             baseline="1.0 = parity with all-pixel training", n_reps=2)
+             baseline="1.0 = parity with all-pixel training", n_reps=1)
         return
-    emit("quadtree_speedup_time_to_psnr", best[1], "x", best[1],
-         baseline=f"all-pixel training at equal seed/scene ({best[0]}; "
-         "1.0 = parity)", n_reps=2)
+    emit("quadtree_speedup_time_to_psnr", payload["value"], "x",
+         payload["value"],
+         baseline="all-pixel NeRF training at equal seed/scene/eval "
+         f"(highest threshold both arms reach: psnr_{payload['threshold']}; "
+         "1.0 = parity; the few-ray win grows with PSNR — "
+         "BENCH_ablation_quadtree.json)",
+         n_reps=payload["n"], spread_pct=payload["spread"])
 
 
 def _probe_device(timeout_s: int = 1500) -> bool:
@@ -711,14 +833,26 @@ def main():
         return
     for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,
                bench_nerfpp, bench_hash_capacity, bench_hash_lattice,
-               bench_time_to_psnr, bench_nerf_time_to_psnr,
-               bench_ngp_time_to_psnr, bench_nerfpp_time_to_psnr,
-               bench_tensorf_time_to_psnr, bench_quadtree_ablation):
+               bench_time_to_psnr, bench_ngp_time_to_psnr,
+               bench_nerfpp_time_to_psnr, bench_tensorf_time_to_psnr,
+               bench_novelview_gap):
         try:
             fn()
         except Exception as e:  # one failing backend must not hide the rest
-            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
-                  flush=True)
+            emit_error(fn.__name__, e)
+    try:
+        payload = bench_nerf_ablation()
+    except Exception as e:
+        emit_error("bench_nerf_ablation", e)
+        payload = None
+    # loud health line (VERDICT r3 #10): any error/-1 above shows here,
+    # so a broken metric can't slip into a round artifact silently
+    emit("bench_health", float(len(_FAILED)), "failed_metrics",
+         1.0 if not _FAILED else 0.0,
+         baseline="0 = every metric produced a real value"
+         + ("; FAILED: " + ",".join(_FAILED[:8]) if _FAILED else ""),
+         n_reps=1)
+    emit_quadtree_speedup(payload)
 
 
 if __name__ == "__main__":

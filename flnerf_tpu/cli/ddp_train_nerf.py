@@ -71,6 +71,8 @@ def config_parser():
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax
 
     from flnerf_tpu.core.config import save_args

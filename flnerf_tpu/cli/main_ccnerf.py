@@ -71,6 +71,8 @@ def load_object(path):
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax
     import jax.numpy as jnp
 

@@ -20,6 +20,8 @@ from flnerf_tpu.cli.main_nerf import load_ngp_dataset, make_parser
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax.numpy as jnp
 
     from flnerf_tpu.models.dnerf import DNeRFConfig, make_dnerf_variant_field

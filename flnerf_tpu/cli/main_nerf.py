@@ -159,6 +159,8 @@ def run_gui(args, trainer, sampler, time=None):
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax.numpy as jnp
 
     from flnerf_tpu.models.hash_ngp import (

@@ -37,6 +37,8 @@ def _analytic_oracle(name: str):
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     from flnerf_tpu.models.sdf import SDFConfig, SDFTrainer, sample_sdf_batch
     from flnerf_tpu.ops.marching import save_obj, save_ply
 

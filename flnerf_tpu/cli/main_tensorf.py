@@ -34,6 +34,8 @@ def make_tensorf_parser():
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax.numpy as jnp
 
     from flnerf_tpu.render.ngp import NGPRenderConfig

@@ -116,6 +116,8 @@ def maybe_merge_config_file(args, parser) -> None:
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax
 
     from flnerf_tpu.models.voxel_sh import VoxelGridConfig, save_npz

@@ -166,6 +166,8 @@ def load_dataset(args):
 
 
 def main(argv=None):
+    from flnerf_tpu.cli.bootstrap import bootstrap
+    bootstrap()
     import jax
     import jax.numpy as jnp
 

@@ -8,7 +8,8 @@ jaxlib version); if the backend supports executable serialization, a
 second process skips the remote compile entirely.  If it doesn't (some
 PJRT plugins refuse), jax logs a warning and runs exactly as before —
 enabling it is strictly non-regressive, so every TPU-facing entry point
-(bench.py, __graft_entry__.py, tools/*) calls this first.
+(bench.py, __graft_entry__.py, the CLI mains via cli/bootstrap.py, and
+tools/*) calls this first.
 
 Reference analog: torch's CUDA kernels are AOT-compiled at pip-install
 time (ngp-ours/gridencoder/setup.py), so the reference never pays a
@@ -30,10 +31,27 @@ def enable_compile_cache(path: str = "") -> bool:
     path = path or os.environ.get("FLNERF_JAX_CACHE", _DEFAULT_DIR)
     try:
         os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything that took >=1s to compile, regardless of size
+        # set thresholds first, dir last: a partial failure then leaves
+        # the cache fully OFF rather than half-configured
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_compilation_cache_dir", path)
         return True
-    except Exception:
+    except Exception as e:
+        # a silently-disabled cache costs 10-60 min per fresh Pallas
+        # graph — make the failure diagnosable
+        import sys
+        print(f"[flnerf] persistent compile cache DISABLED: {e!r}",
+              file=sys.stderr, flush=True)
         return False
+
+
+def cache_entries(path: str = "") -> int:
+    """Number of serialized executables currently in the cache dir —
+    recorded in bench artifacts so 'cold start' compile timings are
+    interpretable (a warm cache makes them near-zero)."""
+    path = path or os.environ.get("FLNERF_JAX_CACHE", _DEFAULT_DIR)
+    try:
+        return len(os.listdir(path))
+    except OSError:
+        return 0

@@ -494,6 +494,60 @@ def tv_loss(field: jnp.ndarray, alive: Optional[jnp.ndarray] = None) -> jnp.ndar
     return (jnp.sum(dx ** 2) + jnp.sum(dy ** 2) + jnp.sum(dz ** 2)) / n
 
 
+def tv_loss_slab(field: jnp.ndarray, key, slab: int,
+                 alive: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stochastic TV — the ``tv_grad_sparse`` analog
+    (plenoxels-ours/svox2/csrc/loss_kernel.cu:179), TPU-first.
+
+    The reference samples a random subset of LINKS per step so 512^3
+    training never pays a full-grid TV sweep.  Random-cell gathers are
+    the wrong shape for TPU (the backward would be a huge scatter, CLAUDE.md:
+    ~12M updates/s); instead this samples one random CONTIGUOUS z-slab of
+    ``slab`` planes per step via ``dynamic_slice`` — unit-stride DMA
+    forward, and the backward is a single ``dynamic_update_slice`` into a
+    zero cotangent, no scatter at all.
+
+    Exactly unbiased: a z0 ~ U[0, Z-slab] slab includes the dx/dy diffs
+    of plane g with probability p_xy(g) and the dz diff between planes
+    (g, g+1) with probability p_z(g); each included term is weighted by
+    1/p so E_z0[estimate] == tv_loss(field) identically (pinned by
+    tests/test_voxel_sh.py::test_tv_slab_unbiased).
+    """
+    if field.ndim == 3:
+        field = field[..., None]
+    X, Y, Z, C = field.shape
+    S = int(min(slab, Z))
+    n_starts = Z - S + 1
+    z0 = jax.random.randint(key, (), 0, n_starts)
+    sub = jax.lax.dynamic_slice(field, (0, 0, z0, 0), (X, Y, S, C))
+    if alive is not None:
+        sub_alive = jax.lax.dynamic_slice(alive, (0, 0, z0), (X, Y, S))
+    # plane g's dx/dy diffs are in the slab iff z0 <= g <= z0+S-1:
+    # p_xy(g) = #{valid z0} / n_starts = (min(g, Z-S) - max(0, g-S+1) + 1)/n
+    g = z0 + jnp.arange(S)                                    # global planes
+    p_xy = (jnp.minimum(g, Z - S) - jnp.maximum(0, g - S + 1)
+            + 1.0) / n_starts
+    # dz diff (g, g+1) needs both planes: z0 <= g and g+1 <= z0+S-1
+    gz = g[:-1]
+    p_z = (jnp.minimum(gz, Z - S) - jnp.maximum(0, gz - S + 2)
+           + 1.0) / n_starts
+    dx = sub[1:, :, :] - sub[:-1, :, :]
+    dy = sub[:, 1:, :] - sub[:, :-1, :]
+    dz = sub[:, :, 1:] - sub[:, :, :-1]
+    if alive is not None:
+        dx = jnp.where((sub_alive[1:] & sub_alive[:-1])[..., None], dx, 0.0)
+        dy = jnp.where((sub_alive[:, 1:] & sub_alive[:, :-1])[..., None],
+                       dy, 0.0)
+        dz = jnp.where((sub_alive[:, :, 1:] & sub_alive[:, :, :-1])[..., None],
+                       dz, 0.0)
+    n = X * Y * Z
+    tv_xy = jnp.sum(
+        (jnp.sum(dx ** 2, axis=(0, 1, 3)) + jnp.sum(dy ** 2, axis=(0, 1, 3)))
+        / p_xy)
+    tv_z = jnp.sum(jnp.sum(dz ** 2, axis=(0, 1, 3)) / p_z)
+    return (tv_xy + tv_z) / n
+
+
 def compose_msi_background(bg, rgb_flatbg, log_t, rays_o, rays_d,
                            cfg: VoxelGridConfig):
     """Replace a render's flat background_brightness fill with the MSI

@@ -407,6 +407,29 @@ class RayBudgeter:
         return self.forest.subdivide(np.asarray(leaf_stat), thres,
                                      min_area_floor=min_area_floor)
 
+    def starvation_floor(self, down_scale: int = 1,
+                         margin: float = 4.0) -> float:
+        """Smallest safe ``min_area_floor`` (in px) for ``adjust``.
+
+        Derivation (the allocation rule, tree.py:577-581): a deepest leaf
+        gets ``area * rate`` rays with
+        rate = epoch_size / (n_images * down_scale * H * W); every
+        shallower leaf gets a flat 10.  After one more subdivision a
+        floor-area leaf's children each draw ``floor/4 * rate`` rays —
+        once that falls below the flat 10, refined (hard) regions receive
+        FEWER rays than learned ones and starve (the toy-scale fog
+        collapse, CLAUDE.md).  Requiring floor/4 * rate >= 10 gives
+
+            floor = margin * 10 / rate,   margin = 4 (the /4 headroom).
+
+        At the reference's scale (800^2, 18 epochs, subdivide_every=3,
+        configs/lego.txt:24-26) minArea stops at ~156 px >> 40, so this
+        rule never binds there — it only activates at bench/test scales
+        where minArea would otherwise drift below the 10-ray floor."""
+        rate = self.epoch_size / (self.n_images * down_scale
+                                  * self.H * self.W)
+        return margin * 10.0 / max(rate, 1e-9)
+
     def compute_leaf_stat(
         self, epoch: RayEpoch, per_ray_err: np.ndarray, stat: str = "max"
     ) -> np.ndarray:

@@ -11,8 +11,10 @@ volume_render_cuvol_fused (render_lerp_kernel_cuvol.cu) becomes
 jax.value_and_grad over the dense-grid renderer — forward, MSE gradient,
 and scatter into grid grads all inside one compiled step.  RMSProp runs as
 elementwise tree math (optim_kernel.cu:28 analog).  TV gradients come from
-autodiff of the dense TV value (loss_kernel.cu:112 analog; the stochastic
-sparse variant is unnecessary when the whole grid lives on-device).
+autodiff of the dense TV value (loss_kernel.cu:112 analog) or, with
+tv_sparsity < 1, from the unbiased random-slab estimator (tv_loss_slab,
+the tv_grad_sparse analog at loss_kernel.cu:179) so big-grid configs
+don't pay a full O(reso^3) TV sweep per step.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from flnerf_tpu.models.voxel_sh import (
     prune_grid,
     sparsify_background,
     tv_loss,
+    tv_loss_slab,
     tv_loss_background,
     upsample_grid,
     voxel_render_rays,
@@ -70,6 +73,9 @@ class PlenoxelsTrainConfig(NamedTuple):
     rms_beta: float = 0.95
     lambda_tv: float = 1e-5
     lambda_tv_sh: float = 1e-3
+    # fraction of z-planes whose TV is sampled per step (1.0 = dense);
+    # the tv_grad_sparse analog (loss_kernel.cu:179), see tv_loss_slab
+    tv_sparsity: float = 1.0
     # MSI background optimization (opt.py:499-500 optim_background_step +
     # argument_parser.py:95-109 LR schedule, 208-211 TV weights); active
     # whenever the grid carries a background (background_nlayers > 0)
@@ -250,6 +256,19 @@ class PlenoxelsTrainer:
         def one_step(state: PlenoxelsState, err_buf, xs):
             origins, dirs, rgb, leaf, mask = xs
 
+            def grid_tv(field):
+                """Dense TV, or the unbiased random-slab estimator
+                (tv_grad_sparse analog) when tv_sparsity < 1 — 512^3
+                training must not pay a full-grid TV sweep per step
+                (loss_kernel.cu:179).  PRNG keyed by the step counter:
+                deterministic, resume-stable."""
+                if cfg.tv_sparsity >= 1.0:
+                    return tv_loss(field, state.grid.alive)
+                slab = max(4, int(round(field.shape[2] * cfg.tv_sparsity)))
+                key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                         state.step)
+                return tv_loss_slab(field, key, slab, state.grid.alive)
+
             def loss_fn(train_vars):
                 density, sh = train_vars[0], train_vars[1]
                 grid = state.grid._replace(density=density, sh=sh)
@@ -266,8 +285,8 @@ class PlenoxelsTrainer:
                 m = eff_mask[:, None]
                 denom = jnp.maximum(jnp.sum(eff_mask), 1.0) * 3.0
                 mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
-                reg = cfg.lambda_tv * tv_loss(density, state.grid.alive)
-                reg = reg + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive)
+                reg = cfg.lambda_tv * grid_tv(density)
+                reg = reg + cfg.lambda_tv_sh * grid_tv(sh)
                 if has_bg:
                     reg = reg + tv_loss_background(
                         bgv, cfg.lambda_tv_background_color,
@@ -277,8 +296,8 @@ class PlenoxelsTrainer:
 
             def reg_grads(train_vars):
                 density, sh = train_vars[:2]
-                reg = (cfg.lambda_tv * tv_loss(density, state.grid.alive)
-                       + cfg.lambda_tv_sh * tv_loss(sh, state.grid.alive))
+                reg = (cfg.lambda_tv * grid_tv(density)
+                       + cfg.lambda_tv_sh * grid_tv(sh))
                 if has_bg:
                     reg = reg + tv_loss_background(
                         train_vars[2], cfg.lambda_tv_background_color,

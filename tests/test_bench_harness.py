@@ -31,6 +31,73 @@ def test_bench_tensorf_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_bench_plenoxels_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    bench.bench_time_to_psnr(seeds=(0,), H=24, reso=32, n_train=4,
+                             target=5.0, early_stop=6.0, n_epoch=2)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "plenoxels_synth_time_to_psnr5_s"
+    art = json.loads((tmp_path / "BENCH_time_to_psnr.json").read_text())
+    assert art["meta"]["psnr_kind"].startswith("full-image")
+    assert "compile_cache_entries_before" in art["meta"]
+    assert art["samples"]
+
+
+@pytest.mark.slow
+def test_bench_ngp_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    bench.bench_ngp_time_to_psnr(seeds=(0,), synth_h=24, target=5.0,
+                                 max_iters=2, steps_per_iter=8, log2=12)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "ngp_synth_time_to_psnr5_s"
+    art = json.loads((tmp_path / "BENCH_time_to_psnr_ngp.json").read_text())
+    assert art["meta"]["backend"] == "ngp" and art["samples"]
+
+
+@pytest.mark.slow
+def test_bench_novelview_gap_smoke(tmp_path, monkeypatch, capsys):
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    gap = bench.bench_novelview_gap(budget_s=8.0, H=24, reso=32, n_train=6,
+                                    early_stop=6.0)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "novelview_gap_db"
+    assert isinstance(gap, float)
+
+
+@pytest.mark.slow
+def test_bench_nerf_ablation_smoke(tmp_path, monkeypatch, capsys):
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    payload = bench.bench_nerf_ablation(
+        seeds=(0,), budget_s=6.0, early_stop=5.0, H=24, n_train=4,
+        thresholds=(2, 4),
+        run_kwargs=dict(netwidth=32, n_samples=8, n_importance=0,
+                        precrop_iters=0, max_epochs=2))
+    bench.emit_quadtree_speedup(payload)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    metrics = {r["metric"] for r in lines}
+    assert "nerf_synth_time_to_psnr2_s" in metrics
+    assert "quadtree_speedup_time_to_psnr" in metrics
+    art = json.loads(
+        (tmp_path / "BENCH_ablation_quadtree.json").read_text())
+    assert "seed0" in art["curves"]["nerf"]
+
+
+@pytest.mark.slow
 def test_bench_nerfpp_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
     import bench
     from flnerf_tpu.models.nerfpp import NerfPPConfig

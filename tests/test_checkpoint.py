@@ -174,3 +174,28 @@ def test_orbax_sharded_roundtrip(tmp_path):
     raw = load_orbax(path)
     np.testing.assert_array_equal(
         np.asarray(raw["grid"]["sh"]), np.asarray(grid.sh))
+
+
+def test_our_tar_loads_with_real_torch(tmp_path):
+    """The cross-direction of test_reference_torch_checkpoint_loads: a .tar
+    written by save_nerf_checkpoint must open with REAL torch.load and carry
+    the reference's exact dict layout (run_nerf.py:532-539), so reference
+    tooling can resume from our checkpoints."""
+    import torch
+
+    pc, ic, icv = _params(0)
+    pf, _, _ = _params(1)
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    opt = tx.init((pc, pf))
+    path = str(tmp_path / "011.tar")
+    save_nerf_checkpoint(path, 11, 4321, pc, pf, opt)
+
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    assert ck["global_epoch"] == 11 and ck["global_iter"] == 4321
+    sd = ck["network_fn_state_dict"]
+    assert "module.pts_linears.0.weight" in sd
+    w = np.asarray(sd["module.pts_linears.0.weight"])
+    # torch layout is [out, in] == transpose of our [in, out] leaf
+    np.testing.assert_allclose(w, np.asarray(pc["pts_linears"][0]["w"]).T,
+                               atol=1e-7)
+    assert "optimizer_state_dict" in ck

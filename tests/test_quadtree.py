@@ -242,3 +242,28 @@ def test_leaf_schedule_golden_sequence():
     assert leaves == [16, 34, 70, 142], leaves
     assert rays == [4096, 1636, 988, 844], rays
     assert splits == [6, 12, 24, 48], splits
+
+
+def test_starvation_floor_derivation():
+    """floor = margin*10/rate: at full-rate small scenes it is 40 px (one
+    further split of a floor-area leaf would allocate < the 10-ray flat
+    floor); at the reference's 800^2 scale it never binds (minArea stops
+    at ~156 px >> 40, configs/lego.txt schedule)."""
+    import numpy as np
+    from flnerf_tpu.rays.quadtree import RayBudgeter
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((4, 32, 32, 3)).astype(np.float32)
+    o = np.zeros((4, 32, 32, 3), np.float32)
+    d = np.ones((4, 32, 32, 3), np.float32)
+    b = RayBudgeter(imgs, o, d, init_level=2, seed=0, enable_sharpness=False)
+    assert b.starvation_floor() == 40.0        # rate == 1
+    assert b.starvation_floor(down_scale=2) == 80.0
+
+    # subdivision honors it: with every leaf hot, splits stop once
+    # min_area/4 < floor instead of drifting to pixel scale
+    for _ in range(8):
+        stat = np.full(b.forest.n_leaves, 1e9)
+        b.adjust(stat, 0.0, min_area_floor=b.starvation_floor())
+    # 32x32: minArea starts 256 -> one split to 64; 64/4=16 < 40 blocks
+    assert float(b.forest.min_area.min()) == 64.0

@@ -303,3 +303,75 @@ def test_msi_background_renders_and_roundtrips(tmp_path):
     assert cfg2.background_nlayers == 4 and cfg2.background_reso == 16
     np.testing.assert_allclose(
         np.asarray(g2.background), np.asarray(grid.background), atol=1e-2)
+
+
+def test_tv_slab_unbiased():
+    """Averaging tv_loss_slab over every possible z0 must reproduce the
+    dense tv_loss exactly (the inverse-probability weights make the
+    random-slab estimator unbiased), with and without an alive mask."""
+    from flnerf_tpu.models.voxel_sh import tv_loss_slab
+
+    rng = np.random.default_rng(0)
+    X, Y, Z, S = 5, 6, 9, 4
+    field = jnp.asarray(rng.standard_normal((X, Y, Z, 3)), jnp.float32)
+    alive = jnp.asarray(rng.random((X, Y, Z)) > 0.3)
+
+    class FixedKey:
+        pass
+
+    for mask in (None, alive):
+        dense = float(tv_loss(field, mask))
+        # enumerate z0 by monkeypatching randint via a key that maps to
+        # each start: simpler — call the internals through jax by fixing
+        # the key per start using fold_in until every start is seen.
+        # Deterministic alternative: evaluate with a stubbed randint.
+        import flnerf_tpu.models.voxel_sh as vs
+        est = []
+        orig = jax.random.randint
+        try:
+            for z0 in range(Z - S + 1):
+                jax.random.randint = (
+                    lambda key, shape, lo, hi, _z=z0: jnp.asarray(_z))
+                est.append(float(tv_loss_slab(field, jax.random.PRNGKey(0),
+                                              S, mask)))
+        finally:
+            jax.random.randint = orig
+        np.testing.assert_allclose(np.mean(est), dense, rtol=1e-5)
+
+
+def test_tv_slab_full_slab_matches_dense():
+    """slab == Z degenerates to the dense TV (single start, all weights 1)."""
+    from flnerf_tpu.models.voxel_sh import tv_loss_slab
+
+    rng = np.random.default_rng(1)
+    field = jnp.asarray(rng.standard_normal((4, 4, 6, 2)), jnp.float32)
+    dense = float(tv_loss(field))
+    slab = float(tv_loss_slab(field, jax.random.PRNGKey(3), 6))
+    np.testing.assert_allclose(slab, dense, rtol=1e-6)
+
+
+def test_trainer_tv_sparsity_runs():
+    """tv_sparsity < 1 trains end-to-end (XLA path) and changes only the
+    TV estimate, not the data term."""
+    from flnerf_tpu.train.plenoxels_trainer import (
+        PlenoxelsTrainConfig, PlenoxelsTrainer,
+    )
+    from flnerf_tpu.rays.quadtree import RayEpoch
+
+    cfg = _cfg(reso=(12, 12, 12))
+    tcfg = PlenoxelsTrainConfig(
+        n_epoch=1, batch_size=64, steps_per_chunk=2, lr_sigma=1e1,
+        lr_sh=1e-2, lr_sigma_delay_steps=0, tv_sparsity=0.5,
+        use_kernel=False)
+    trainer = PlenoxelsTrainer(cfg, tcfg)
+    rng = np.random.default_rng(0)
+    n = 128
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    ep = RayEpoch(
+        origins=np.tile(np.array([[0, 0, -2.0]], np.float32), (n, 1)),
+        dirs=(d / np.linalg.norm(d, axis=-1, keepdims=True)),
+        rgb=rng.random((n, 3)).astype(np.float32),
+        leaf_id=np.zeros(n, np.int32), n_leaves=4)
+    stat, mse = trainer.run_epoch_rays(ep)
+    assert np.isfinite(mse)

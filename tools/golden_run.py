@@ -1,0 +1,160 @@
+"""Golden-run readiness (VERDICT r3 #8): the parity claim as one command
+the day a real dataset exists.
+
+No datasets ship in this environment, so each golden run is GATED on its
+dataset directory: when absent, the run reports ``skipped`` with the
+exact download layout it expects; when present, it trains the backend at
+the reference's own config and asserts test-split PSNR lands inside the
+expected band derived from published numbers (BASELINE.md).
+
+Bands (mid = published number, width = tolerance for scene/eval-protocol
+drift):
+  * lego / nerf     — nerf-pytorch 100K iters PSNR ~32.5 (the reference's
+    base repo; nerf-ours/README.md:49 gives only wall-clock, the PSNR is
+    the nerf-pytorch repo's published lego number).  Band [30.5, inf).
+  * lego / ngp      — torch-ngp -O 30K steps PSNR 34.15
+    (ngp-ours/readme.md:211).  Band [33.0, inf).
+  * lego / tensorf  — torch-ngp TensoRF -O 30K steps PSNR 35.05
+    (ngp-ours/readme.md:216).  Band [33.5, inf).
+  * lego / plenoxels— svox2 paper syn PSNR ~34.1 (plenoxels paper tbl 1
+    lego 34.10).  Band [32.5, inf).
+  * truck / nerfpp  — nerf++ paper T&T Truck PSNR 22.77 (paper tbl; the
+    reference repo publishes only wall-clock).  Band [21.5, inf).
+
+Usage:
+  python tools/golden_run.py                 # run every dataset present
+  python tools/golden_run.py --scene lego_ngp --steps 30000
+Writes GOLDEN_runs.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LEGO_DIR = "data/nerf_synthetic/lego"
+TAT_DIR = "data/tanks_and_temples/tat_training_Truck"
+
+EXPECTED = {
+    "lego_nerf": {"min_psnr": 30.5, "published": 32.5,
+                  "source": "nerf-pytorch lego (nerf-ours base repo)"},
+    "lego_ngp": {"min_psnr": 33.0, "published": 34.15,
+                 "source": "ngp-ours/readme.md:211"},
+    "lego_tensorf": {"min_psnr": 33.5, "published": 35.05,
+                     "source": "ngp-ours/readme.md:216"},
+    "lego_plenoxels": {"min_psnr": 32.5, "published": 34.1,
+                       "source": "plenoxels paper table 1"},
+    "truck_nerfpp": {"min_psnr": 21.5, "published": 22.77,
+                     "source": "nerf++ paper (T&T Truck)"},
+}
+
+
+def _gate(path, layout):
+    if os.path.isdir(path):
+        return None
+    return {"skipped": True, "reason": f"dataset missing at {path}",
+            "expected_layout": layout}
+
+
+def _psnr_of(res):
+    if not isinstance(res, dict) or "psnr" not in res:
+        return {"error": f"CLI returned no psnr: {res!r}"}
+    return {"psnr": float(res["psnr"]),
+            "ssim": float(res.get("ssim", float("nan")))}
+
+
+def run_lego_ngp(steps):
+    gate = _gate(LEGO_DIR, "nerf_synthetic blender layout: "
+                 "transforms_{train,val,test}.json + {train,val,test}/*.png")
+    if gate:
+        return gate
+    from flnerf_tpu.cli.main_nerf import main
+    return _psnr_of(main([
+        LEGO_DIR, "-O", "--workspace", "logs/golden_lego_ngp",
+        "--iters", str(steps), "--bound", "1.0", "--scale", "0.8"]))
+
+
+def run_lego_tensorf(steps):
+    gate = _gate(LEGO_DIR, "nerf_synthetic blender layout")
+    if gate:
+        return gate
+    from flnerf_tpu.cli.main_tensorf import main
+    return _psnr_of(main([
+        LEGO_DIR, "-O", "--workspace", "logs/golden_lego_tensorf",
+        "--iters", str(steps), "--bound", "1.0", "--scale", "0.8"]))
+
+
+def run_lego_nerf(_steps):
+    gate = _gate(LEGO_DIR, "nerf_synthetic blender layout")
+    if gate:
+        return gate
+    from flnerf_tpu.cli.run_nerf import main
+    return _psnr_of(main(["--config", "configs/lego.txt",
+                          "--datadir", LEGO_DIR]))
+
+
+def run_lego_plenoxels(_steps):
+    gate = _gate(LEGO_DIR, "nerf_synthetic blender layout")
+    if gate:
+        return gate
+    from flnerf_tpu.cli.opt import main
+    return _psnr_of(main([LEGO_DIR, "-t", "logs/golden_lego_plenoxels",
+                          "-c", "configs/syn.json"]))
+
+
+def run_truck_nerfpp(_steps):
+    gate = _gate(TAT_DIR, "nerf++ tanks_and_temples layout: "
+                 "{train,test}/{rgb,pose,intrinsics}")
+    if gate:
+        return gate
+    from flnerf_tpu.cli.ddp_train_nerf import main
+    return _psnr_of(main(["--config", "configs/tat_training_truck.txt"]))
+
+
+RUNS = {
+    "lego_nerf": run_lego_nerf,
+    "lego_ngp": run_lego_ngp,
+    "lego_tensorf": run_lego_tensorf,
+    "lego_plenoxels": run_lego_plenoxels,
+    "truck_nerfpp": run_truck_nerfpp,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", choices=sorted(RUNS), default=None)
+    p.add_argument("--steps", type=int, default=30000)
+    p.add_argument("--out", default="GOLDEN_runs.json")
+    a = p.parse_args(argv)
+
+    from flnerf_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
+    out = {}
+    ok = True
+    for name, fn in RUNS.items():
+        if a.scene and name != a.scene:
+            continue
+        t0 = time.time()
+        try:
+            res = fn(a.steps)
+        except Exception as e:  # a crash is a FAILED golden run, not a skip
+            res = {"error": str(e)[:300]}
+            ok = False
+        res["wall_s"] = round(time.time() - t0, 1)
+        res["expected"] = EXPECTED[name]
+        if "psnr" in res:
+            res["pass"] = bool(res["psnr"] >= EXPECTED[name]["min_psnr"])
+            ok = ok and res["pass"]
+        out[name] = res
+        print(name, json.dumps(res), flush=True)
+    with open(a.out, "w") as f:
+        json.dump(out, f, indent=1)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
