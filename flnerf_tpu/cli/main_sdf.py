@@ -54,6 +54,23 @@ def main(argv=None):
     args = parser.parse_args(argv)
     os.makedirs(args.workspace, exist_ok=True)
 
+    if args.path.endswith((".obj", ".ply")):
+        # mesh input — the reference's SDFDataset path (provider.py:28),
+        # pysdf/trimesh-free (data/mesh_sdf.py)
+        from flnerf_tpu.data.mesh_sdf import SDFMeshDataset
+
+        ds = SDFMeshDataset(args.path, num_samples=args.batch,
+                            seed=args.seed)
+        cfg = SDFConfig(bound=args.bound)
+        trainer = SDFTrainer(cfg, lr=args.lr, seed=args.seed)
+        losses = trainer.fit_dataset(ds, steps=args.iters)
+        print(f"final mape loss: {losses[-1]:.5f}")
+        verts, tris = trainer.extract_mesh(reso=args.mesh_reso)
+        out = os.path.join(args.workspace, "mesh.obj")
+        save_obj(out, verts, tris)
+        print(f"wrote {out}: {len(verts)} verts, {len(tris)} tris")
+        return {"loss": losses[-1], "n_verts": len(verts)}
+
     oracle = _analytic_oracle(args.path)
     if oracle is None:
         data = np.load(args.path)

@@ -166,6 +166,20 @@ class SDFTrainer:
             losses.append(float(loss))
         return losses
 
+    def fit_dataset(self, dataset, steps: int = 200):
+        """Train from a provider with ``sample_batch() -> (pts, sdf)``
+        (the SDFMeshDataset mesh path, data/mesh_sdf.py — reference
+        sdf/provider.py batch mix)."""
+        losses = []
+        for _ in range(steps):
+            pts, sdf = dataset.sample_batch()
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, jnp.asarray(pts),
+                jnp.asarray(sdf).reshape(-1),
+            )
+            losses.append(float(loss))
+        return losses
+
     def extract_mesh(self, reso: int = 128, chunk: int = 1 << 16):
         """Marching-tetrahedra surface of the learned SDF (save_mesh analog)."""
         from flnerf_tpu.ops.marching import marching_tetrahedra

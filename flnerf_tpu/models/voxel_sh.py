@@ -495,7 +495,8 @@ def tv_loss(field: jnp.ndarray, alive: Optional[jnp.ndarray] = None) -> jnp.ndar
 
 
 def tv_loss_slab(field: jnp.ndarray, key, slab: int,
-                 alive: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 alive: Optional[jnp.ndarray] = None,
+                 transform=None) -> jnp.ndarray:
     """Stochastic TV — the ``tv_grad_sparse`` analog
     (plenoxels-ours/svox2/csrc/loss_kernel.cu:179), TPU-first.
 
@@ -520,6 +521,12 @@ def tv_loss_slab(field: jnp.ndarray, key, slab: int,
     n_starts = Z - S + 1
     z0 = jax.random.randint(key, (), 0, n_starts)
     sub = jax.lax.dynamic_slice(field, (0, 0, z0, 0), (X, Y, S, C))
+    if transform is not None:
+        # per-cell channel transform applied ONLY to the slab (e.g. the
+        # lumisphere radiance contraction) — keeps the estimator
+        # sub-sweep even when the penalized quantity is derived
+        sub = transform(sub)
+        C = sub.shape[-1]
     if alive is not None:
         sub_alive = jax.lax.dynamic_slice(alive, (0, 0, z0), (X, Y, S))
     # plane g's dx/dy diffs are in the slab iff z0 <= g <= z0+S-1:
@@ -546,6 +553,53 @@ def tv_loss_slab(field: jnp.ndarray, key, slab: int,
         / p_xy)
     tv_z = jnp.sum(jnp.sum(dz ** 2, axis=(0, 1, 3)) / p_z)
     return (tv_xy + tv_z) / n
+
+
+def tv_loss_lumisphere(grid: "VoxelGrid", cfg: "VoxelGridConfig", key,
+                       slab: int, dir_factor: float = 0.0) -> jnp.ndarray:
+    """Lumisphere TV (loss_kernel.cu:336 lumisphere_tv_grad_sparse
+    analog): spatial TV of the view-DEPENDENT radiance — per cell, the
+    RGB obtained by contracting its sh/basis coefficients with the basis
+    functions at one random direction per step — rather than of the raw
+    coefficients.  With a learned basis (3d_texture / mlp) coefficient
+    TV under-penalizes radiance roughness wherever the basis has large
+    magnitude; this is the regularizer the reference pairs with those
+    basis types.  ``dir_factor`` adds the reference's angular term: the
+    squared radiance change under a perturbed direction.
+
+    Sampling: the reference draws a sparse random cell subset; here the
+    spatial part rides the random-z-slab estimator (tv_loss_slab with a
+    transform, unbiased, no scatter) and the contraction happens ONLY on
+    the slab.  The direction is a fresh uniform unit vector per step."""
+    kd, kz, kp = jax.random.split(key, 3)
+    u = jax.random.normal(kd, (3,))
+    u = u / (jnp.linalg.norm(u) + 1e-9)
+    bv = eval_basis(grid, u[None], cfg)[0]            # [basis_dim]
+    bd = bv.shape[0]
+
+    def radiance(sub, b=bv):
+        sh = sub.reshape(sub.shape[:3] + (3, bd))
+        return jnp.einsum("xyzcb,b->xyzc", sh, b)
+
+    tv = tv_loss_slab(grid.sh, kz, slab, grid.alive, transform=radiance)
+    if dir_factor > 0.0:
+        u2 = u + 0.25 * jax.random.normal(kp, (3,))
+        u2 = u2 / (jnp.linalg.norm(u2) + 1e-9)
+        bv2 = eval_basis(grid, u2[None], cfg)[0]
+        # angular term on the same random slab (du in the kernel)
+        def ang(sub):
+            return radiance(sub, bv2) - radiance(sub, bv)
+        X, Y, Z = grid.sh.shape[:3]
+        S = int(min(slab, Z))
+        z0 = jax.random.randint(kp, (), 0, Z - S + 1)
+        sub = jax.lax.dynamic_slice(
+            grid.sh, (0, 0, z0, 0), (X, Y, S, grid.sh.shape[3]))
+        d = ang(sub)
+        if grid.alive is not None:
+            am = jax.lax.dynamic_slice(grid.alive, (0, 0, z0), (X, Y, S))
+            d = jnp.where(am[..., None], d, 0.0)
+        tv = tv + dir_factor * jnp.sum(d ** 2) / (X * Y * Z)
+    return tv
 
 
 def compose_msi_background(bg, rgb_flatbg, log_t, rays_o, rays_d,

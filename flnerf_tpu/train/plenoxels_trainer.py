@@ -36,6 +36,7 @@ from flnerf_tpu.models.voxel_sh import (
     prune_grid,
     sparsify_background,
     tv_loss,
+    tv_loss_lumisphere,
     tv_loss_slab,
     tv_loss_background,
     upsample_grid,
@@ -76,6 +77,11 @@ class PlenoxelsTrainConfig(NamedTuple):
     # fraction of z-planes whose TV is sampled per step (1.0 = dense);
     # the tv_grad_sparse analog (loss_kernel.cu:179), see tv_loss_slab
     tv_sparsity: float = 1.0
+    # lumisphere TV (loss_kernel.cu:336): spatial TV of the view-dependent
+    # radiance at a random per-step direction; the regularizer the
+    # reference pairs with learned basis types.  XLA train path only.
+    lambda_tv_lumisphere: float = 0.0
+    tv_lumisphere_dir_factor: float = 0.0
     # MSI background optimization (opt.py:499-500 optim_background_step +
     # argument_parser.py:95-109 LR schedule, 208-211 TV weights); active
     # whenever the grid carries a background (background_nlayers > 0)
@@ -142,6 +148,10 @@ class PlenoxelsTrainer:
                 "use_kernel supports basis_type='sh' only (the Pallas "
                 "table packs closed-form SH); learned bases take the XLA "
                 "train path")
+        if train_cfg.lambda_tv_lumisphere > 0 and train_cfg.use_kernel:
+            raise ValueError(
+                "lambda_tv_lumisphere takes the XLA train path (the Pallas "
+                "table bakes closed-form SH; radiance TV needs the basis)")
         if grid_cfg.backend != "cuvol" and train_cfg.use_kernel:
             raise ValueError(
                 "use_kernel bakes cuvol marching; backend="
@@ -287,6 +297,15 @@ class PlenoxelsTrainer:
                 mse = jnp.sum(m * (out["rgb"] - rgb) ** 2) / denom
                 reg = cfg.lambda_tv * grid_tv(density)
                 reg = reg + cfg.lambda_tv_sh * grid_tv(sh)
+                if cfg.lambda_tv_lumisphere > 0.0:
+                    lkey = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed + 1), state.step)
+                    lslab = max(4, int(round(
+                        sh.shape[2] * min(cfg.tv_sparsity, 0.25))))
+                    reg = reg + cfg.lambda_tv_lumisphere * \
+                        tv_loss_lumisphere(
+                            grid, gcfg, lkey, lslab,
+                            cfg.tv_lumisphere_dir_factor)
                 if has_bg:
                     reg = reg + tv_loss_background(
                         bgv, cfg.lambda_tv_background_color,

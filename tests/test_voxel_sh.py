@@ -375,3 +375,68 @@ def test_trainer_tv_sparsity_runs():
         leaf_id=np.zeros(n, np.int32), n_leaves=4)
     stat, mse = trainer.run_epoch_rays(ep)
     assert np.isfinite(mse)
+
+
+def test_tv_lumisphere_runs_and_grads():
+    """Lumisphere TV (loss_kernel.cu:336 analog): finite, zero for a
+    spatially constant radiance field, grads flow into sh AND the
+    learned basis."""
+    from flnerf_tpu.models.voxel_sh import init_voxel_grid, tv_loss_lumisphere
+
+    cfg = _cfg(reso=(8, 8, 8), basis_type="3d_texture", basis_dim=9,
+               basis_reso=8)
+    grid = init_voxel_grid(cfg)
+    rng = np.random.default_rng(0)
+    grid = grid._replace(
+        basis=jnp.asarray(rng.standard_normal(grid.basis.shape),
+                          jnp.float32))
+    key = jax.random.PRNGKey(0)
+
+    # constant sh -> constant radiance -> zero spatial TV
+    const = grid._replace(sh=jnp.ones_like(grid.sh) * 0.3)
+    v0 = float(tv_loss_lumisphere(const, cfg, key, slab=4))
+    assert abs(v0) < 1e-10
+
+    grid = grid._replace(
+        sh=jnp.asarray(rng.standard_normal(grid.sh.shape), jnp.float32))
+    v = float(tv_loss_lumisphere(grid, cfg, key, slab=4,
+                                 dir_factor=0.5))
+    assert np.isfinite(v) and v > 0
+
+    g_sh = jax.grad(lambda s: tv_loss_lumisphere(
+        grid._replace(sh=s), cfg, key, 4, 0.5))(grid.sh)
+    g_b = jax.grad(lambda b: tv_loss_lumisphere(
+        grid._replace(basis=b), cfg, key, 4, 0.5))(grid.basis)
+    assert float(jnp.abs(g_sh).max()) > 0
+    assert float(jnp.abs(g_b).max()) > 0
+
+
+def test_trainer_lumisphere_tv_runs():
+    from flnerf_tpu.train.plenoxels_trainer import (
+        PlenoxelsTrainConfig, PlenoxelsTrainer,
+    )
+    from flnerf_tpu.rays.quadtree import RayEpoch
+
+    cfg = _cfg(reso=(12, 12, 12), basis_type="3d_texture", basis_dim=9,
+               basis_reso=8)
+    tcfg = PlenoxelsTrainConfig(
+        n_epoch=1, batch_size=64, steps_per_chunk=2, lr_sigma=1e1,
+        lr_sh=1e-2, lr_sigma_delay_steps=0,
+        lambda_tv_lumisphere=1e-3, tv_lumisphere_dir_factor=0.1,
+        use_kernel=False)
+    trainer = PlenoxelsTrainer(cfg, tcfg)
+    rng = np.random.default_rng(0)
+    n = 128
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    ep = RayEpoch(
+        origins=np.tile(np.array([[0, 0, -2.0]], np.float32), (n, 1)),
+        dirs=(d / np.linalg.norm(d, axis=-1, keepdims=True)),
+        rgb=rng.random((n, 3)).astype(np.float32),
+        leaf_id=np.zeros(n, np.int32), n_leaves=4)
+    stat, mse = trainer.run_epoch_rays(ep)
+    assert np.isfinite(mse)
+
+    import pytest
+    with pytest.raises(ValueError):
+        PlenoxelsTrainer(_cfg(), tcfg._replace(use_kernel=True))
