@@ -70,8 +70,9 @@ class NGPConfig(NamedTuple):
     # big-level engine at log2_hashmap_size >= 16: 'sorted' (corner-sorted
     # blocks, ops/hash_sorted.py, reference xor hash bit-for-bit) or
     # 'lattice' (one base-key sort + slab matmuls, ops/hash_lattice.py,
-    # linear hash — 8x fewer sorted keys per level).  'auto' currently
-    # resolves to 'sorted' pending TPU validation of the lattice engine.
+    # linear hash — 8x fewer sorted keys per level).  'auto' resolves to
+    # 'lattice': 1.6x faster AND equal-or-better quality on the r4 TPU
+    # gate (LATTICE_diagnose.json; see make_ngp_spec).
     hash_engine: str = "auto"
     desired_resolution: int = 2048  # x bound
     num_layers: int = 2
@@ -156,7 +157,14 @@ def make_ngp_spec(cfg: NGPConfig):
     if cfg.log2_hashmap_size >= 16 and cfg.hash_engine != "matmul":
         engine = cfg.hash_engine
         if engine == "auto":
-            engine = "sorted"
+            # lattice: 1.6x the sorted engine at the NGP step shape
+            # (30.9 vs 49.3 ms fwd+bwd at 2^19/65k pts) at BETTER
+            # end-to-end quality on the r4 TPU gate (38.25 vs 37.37 dB
+            # train-view at equal steps/seed, LATTICE_diagnose.json;
+            # the r3 gate's 2.59 dB "gap" was an eval-chunk kernel
+            # shape issue, fixed by the render-chunk clamp in
+            # render/ngp.py ngp_render_image)
+            engine = "lattice"
         if engine == "lattice":
             return make_lattice_spec(
                 num_levels=cfg.num_levels,

@@ -421,6 +421,14 @@ def ngp_render_image(
 
     if bg_color is not None:
         cfg = cfg._replace(bg_color=float(bg_color))
+    # keep the per-chunk candidate-encode inside the hash engines'
+    # VALIDATED point envelope (<= 2^19 points = the training shape):
+    # the lattice kernel at the 2^20 (chunk 8192 x 128 candidates) grid
+    # silently degrades on real TPU (LATTICE_diagnose.json: 32.9 dB at
+    # chunk 8192 vs 38.2 dB at 4096/oracle, same params) — clamping the
+    # ray chunk costs nothing (chunks are compiled once) and keeps eval
+    # bit-comparable to training
+    chunk = min(chunk, max(128, (1 << 19) // max(cfg.n_candidates, 1)))
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
     rays_o = rays_o.reshape(-1, 3)

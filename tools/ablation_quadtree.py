@@ -89,6 +89,9 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=96,
     trainer.state = jax.device_put(PlenoxelsState(
         g0, jnp.zeros_like(g0.density), jnp.zeros_like(g0.sh),
         jnp.int32(0)))
+    # block before the clock: the fresh grid state's tunnel transfer is
+    # setup cost, not training time (it otherwise lands in epoch 1)
+    jax.block_until_ready(trainer.state.grid.sh)
     budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
 
     rec = BenchRecorder(meta={"backend": "plenoxels", "mode": mode,
@@ -170,6 +173,7 @@ def run_nerf(mode: str, budget_s: float, seed: int = 0, H=96,
     trainer.run_epoch_rays(warm, jax.random.PRNGKey(0))
     trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W, K, chunk=8192)
     trainer = fresh()
+    jax.block_until_ready(trainer.state.params_coarse)
     budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
 
     rec = BenchRecorder(meta={"backend": "nerf", "mode": mode,
@@ -200,7 +204,9 @@ def run_nerf(mode: str, budget_s: float, seed: int = 0, H=96,
             ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
             trainer.run_epoch_rays(ep, sub)
         train_s += time.time() - t0
-        psnr, _ = trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W,
+        # mean over TWO train views: halves the eval noise that makes
+        # first-crossing times jumpy near the all-pixel saturation
+        psnr, _ = trainer.eval_images(poses[tr][:2], images[tr][:2], Hh, W,
                                       K, chunk=8192)
         _curve_entry(rec, epoch, psnr, train_s, ep.origins.shape[0])
         if train_s > budget_s or (early_stop_psnr is not None
