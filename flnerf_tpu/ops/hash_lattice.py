@@ -51,6 +51,17 @@ such guarantee).  Distant structured aliases are disambiguated by the
 other levels, like xor collisions; tools/quality_lattice.py measures
 the end-to-end PSNR delta vs the xor oracle.
 
+CALLER CONTRACT (duplicate uniformity): slab rows are sized from the
+call's point count assuming keys are (near-)uniformly duplicated.  A
+caller that pads a batch by REPEATING ONE POINT (e.g. broadcasting the
+last ray of a partial image chunk) concentrates the duplicate mass in
+one sorted run, halving the real-key density the sizing assumed —
+every hashed level's slab comes up short and silently drops corners
+(this was the round-3 "lattice quality gap": 32.9 vs 38.2 dB at eval
+chunk 8192 on a 4096-ray image, LATTICE_diagnose.json).  Pad by
+WRAP-TILING real points instead (render/ngp.py ngp_render_image);
+spill_fraction_lattice is the runtime monitor for violations.
+
 Levels smaller than split_min_size stay on the hash_pallas matmul path
 with reference xor semantics (ops/hash_sorted.make_split_spec decides).
 Reference for semantics being replaced: ngp-ours/gridencoder/src/
@@ -240,6 +251,9 @@ class _Geom(NamedTuple):
     r_max: int          # largest dense slab (b_tail clamp compat)
     r_hash: int         # HASHED levels' slab rows (single slab, tight)
     r_dense: tuple      # PER-LEVEL dense slab rows (dual head+tail slabs)
+    bw: int             # per-(level,chunk) slab-base row width, padded to
+                        # x1024 (rank-1 SMEM blocks must match XLA's
+                        # T(1024) layout tile; Mosaic verifies it)
 
 
 def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
@@ -271,8 +285,14 @@ def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
     # tiny blocks see heavy-tailed per-block spans (few keys): widen the
     # slab margin there — the extra MACs are negligible at those sizes
     mult = 2.0 if block >= 64 else 4.0
+    # sigma uses block/2, not block: wrap-tiled pads (the caller
+    # contract's sanctioned padding, up to 2x duplication) halve the
+    # DISTINCT keys per block, doubling the span variance — at training
+    # shapes round8 absorbs the wider margin (r unchanged), at small
+    # calls it costs a few slab rows
     r_hash = min(spec.t_r64, spec.r_pad,
-                 max(_round8(int(span + 4.0 * span / np.sqrt(block)) + 24),
+                 max(_round8(int(span + 4.0 * span / np.sqrt(block / 2.0))
+                             + 24),
                      32))
     big = spec.split.big
     r_dense = []
@@ -290,7 +310,8 @@ def _geometry(n_points: int, spec: LatticeSpec) -> _Geom:
                      max(_round8(int(mult * span) + 24), 32))
     return _Geom(n_ch=n_ch, m_pad=m_pad, block=block, nblk=nblk,
                  n_g=nblk // spec.cb, r_max=r_max, r_hash=r_hash,
-                 r_dense=tuple(r_dense))
+                 r_dense=tuple(r_dense),
+                 bw=-(-nblk * 8 // 1024) * 1024)
 
 
 def _base_keys_payloads(x01, spec: LatticeSpec):
@@ -359,7 +380,16 @@ def _slab_bases(skey, spec: LatticeSpec, geo: _Geom):
     ).astype(np.int32))[:, None, None]
     b_tail = ((last[..., None] + offs_r) >> 6) & ~jnp.int32(7)
     b_tail = jnp.maximum(b_tail - r_lvl + 8, 0)
-    to32 = lambda a: a.reshape(-1)
+
+    def to32(a):
+        # pad each row to geo.bw (x1024): rank-1 SMEM blocks must match
+        # XLA's T(1024) layout tile, and the kernels slice one row per
+        # (level, chunk) program
+        a = a.reshape(rows, geo.nblk * 8)
+        if geo.bw != a.shape[1]:
+            a = jnp.pad(a, ((0, 0), (0, geo.bw - a.shape[1])))
+        return a.reshape(-1)
+
     return to32(b_full), to32(b_slice), to32(b_tail)
 
 
@@ -384,18 +414,23 @@ def _corner_w(fx, fy, fz, c):
 
 def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                   skey_ref, sp0_ref, sp1_ref, table_ref,
-                  out0_ref, out1_ref, *, r_max: int, nblk: int, lb: int,
+                  out0_ref, out1_ref, *, r_max: int,
                   off: int, dual: bool, cb: int):
     """Per (level, chunk, g): for cb blocks of ``block`` sorted base
     entries, fetch all 8 corners' features with per-corner slab matmuls,
     fold the trilinear weights, and write the two channel accumulators as
     packed columns (still in sorted order — the XLA caller unsorts).
 
+    The slab-base arrays arrive BLOCKED per (level, chunk) — [nblk*8]
+    SMEM slices, not the whole [n_ch*lb*nblk*8] array: whole-array SMEM
+    scaled with n_ch and blew the 1 MB SMEM space at 2^19-point calls
+    (3 x 458 KB = 1.31 MB, a hard compile error — LATTICE_multichunk
+    probe, r4).
+
     ``dual`` (dense levels) adds a tail slab per corner so gap-straddling
     blocks stay exact (clustered points on dense levels, ADVICE r2);
     hashed levels keep the single slab (uniform keys, Chernoff-safe)."""
     l = pl.program_id(0)
-    ch = pl.program_id(1)
     g = pl.program_id(2)
     width = skey_ref.shape[2]
     n_rows = (2 if dual else 1) * r_max
@@ -410,7 +445,7 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
     # oh+rows set is ~1.5 MB).  The j loop stays a static unroll: lane-dim
     # slices (the [..., j] tile columns) must use static offsets.
     for j in range(cb):
-        bi = ((ch * lb + l + off) * nblk + g * cb + j) * 8
+        bi = (g * cb + j) * 8
         s = skey_ref[0, 0, :, j:j + 1]                       # [BLOCK, 1]
         p0 = sp0_ref[0, 0, :, j:j + 1]
         p1 = sp1_ref[0, 0, :, j:j + 1]
@@ -466,11 +501,12 @@ def _fetch_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
 
 def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
                     skey_ref, sp0_ref, sp1_ref, g0_ref, g1_ref,
-                    grad_ref, *, r_max: int, nblk: int, lb: int,
+                    grad_ref, *, r_max: int,
                     off: int, dual: bool, cb: int):
     """Per (level, chunk, g): grad_table[slab] += oh^T @ (w * g at the
     entry's lanes) per corner — K = BLOCK contractions (full MXU), the
-    upstream grads arrive already permuted into sorted order."""
+    upstream grads arrive already permuted into sorted order.  Slab-base
+    arrays arrive blocked per (level, chunk) — see _fetch_kernel."""
     l = pl.program_id(0)
     ch = pl.program_id(1)
     g = pl.program_id(2)
@@ -488,7 +524,7 @@ def _scatter_kernel(offs_ref, bfull_ref, bslice_ref, btail_ref,
     # _fetch_kernel (the RMW slab accumulation is sequential anyway);
     # j stays static (lane-dim tile slices need static offsets).
     for j in range(cb):
-        bi = ((ch * lb + l + off) * nblk + g * cb + j) * 8
+        bi = (g * cb + j) * 8
         s = skey_ref[0, 0, :, j:j + 1]
         p0 = sp0_ref[0, 0, :, j:j + 1]
         p1 = sp1_ref[0, 0, :, j:j + 1]
@@ -601,8 +637,6 @@ def _fwd_impl(x01, table_big, spec: LatticeSpec):
     offs32 = jnp.asarray(spec.offs.reshape(-1).astype(np.int64), jnp.int32)
     tpad = _pad_table(table_big, spec).astype(jnp.bfloat16)
 
-    smem_b = pl.BlockSpec((geo.n_ch * lb * geo.nblk * 8,),
-                          lambda l, ch, g: (0,), memory_space=pltpu.SMEM)
     smem_o = pl.BlockSpec((lb * 8,), lambda l, ch, g: (0,),
                           memory_space=pltpu.SMEM)
     parts = []
@@ -614,6 +648,13 @@ def _fwd_impl(x01, table_big, spec: LatticeSpec):
         sub = [(li, 1) for li in range(off, off + lbp)] if dual \
             else [(off, lbp)]
         for soff, slbp in sub:
+            # slab bases blocked per (level, chunk): whole-array SMEM
+            # scales with n_ch and exceeds the 1 MB SMEM space at 2^19
+            # points (see _fetch_kernel)
+            smem_b = pl.BlockSpec(
+                (geo.bw,),
+                lambda l, ch, g, soff=soff: (ch * lb + l + soff,),
+                memory_space=pltpu.SMEM)
             tile = pl.BlockSpec(
                 (1, 1, geo.block, cb),
                 lambda l, ch, g, soff=soff: (ch * lb + l + soff, g, 0, 0),
@@ -628,7 +669,7 @@ def _fwd_impl(x01, table_big, spec: LatticeSpec):
                 functools.partial(
                     _fetch_kernel,
                     r_max=geo.r_dense[soff] if dual else geo.r_hash,
-                    nblk=geo.nblk, lb=lb, off=soff, dual=dual, cb=cb),
+                    off=soff, dual=dual, cb=cb),
                 grid=(slbp, geo.n_ch, geo.n_g),
                 in_specs=[
                     smem_o, smem_b, smem_b, smem_b, tile, tile, tile,
@@ -697,8 +738,6 @@ def _bwd(spec: LatticeSpec, res, g):
     g1_pk = _pack_cols(flt(g1s), geo)
     offs32 = jnp.asarray(spec.offs.reshape(-1).astype(np.int64), jnp.int32)
 
-    smem_b = pl.BlockSpec((geo.n_ch * lb * geo.nblk * 8,),
-                          lambda l, ch, g: (0,), memory_space=pltpu.SMEM)
     smem_o = pl.BlockSpec((lb * 8,), lambda l, ch, g: (0,),
                           memory_space=pltpu.SMEM)
     parts = []
@@ -719,6 +758,10 @@ def _bwd(spec: LatticeSpec, res, g):
                 rows_out = min(
                     _round8(-(-int(sizes[li]) // PACK)) + spec.r_pad,
                     pad_rows)
+                smem_b = pl.BlockSpec(
+                    (geo.bw,),
+                    lambda l, ch, g, li=li: (ch * lb + li,),
+                    memory_space=pltpu.SMEM)
                 tile = pl.BlockSpec(
                     (1, 1, geo.block, cb),
                     lambda l, ch, g, li=li: (ch * lb + li, g, 0, 0),
@@ -726,8 +769,7 @@ def _bwd(spec: LatticeSpec, res, g):
                 grad_l = pl.pallas_call(
                     functools.partial(_scatter_kernel,
                                       r_max=geo.r_dense[li],
-                                      nblk=geo.nblk, lb=lb, off=li,
-                                      dual=True, cb=cb),
+                                      off=li, dual=True, cb=cb),
                     grid=(1, geo.n_ch, geo.n_g),
                     in_specs=[smem_o, smem_b, smem_b, smem_b,
                               tile, tile, tile, tile, tile],
@@ -743,6 +785,10 @@ def _bwd(spec: LatticeSpec, res, g):
                 parts.append(jnp.pad(
                     grad_l, ((0, 0), (0, pad_rows - rows_out), (0, 0))))
             continue
+        smem_b = pl.BlockSpec(
+            (geo.bw,),
+            lambda l, ch, g, off=off: (ch * lb + l + off,),
+            memory_space=pltpu.SMEM)
         tile = pl.BlockSpec(
             (1, 1, geo.block, cb),
             lambda l, ch, g, off=off: (ch * lb + l + off, g, 0, 0),
@@ -750,8 +796,7 @@ def _bwd(spec: LatticeSpec, res, g):
         grad_p = pl.pallas_call(
             functools.partial(_scatter_kernel,
                               r_max=geo.r_max if dual else geo.r_hash,
-                              nblk=geo.nblk, lb=lb, off=off, dual=dual,
-                              cb=cb),
+                              off=off, dual=dual, cb=cb),
             grid=(lbp, geo.n_ch, geo.n_g),
             in_specs=[smem_o, smem_b, smem_b, smem_b,
                       tile, tile, tile, tile, tile],
@@ -779,10 +824,25 @@ lattice_encode.defvjp(_fwd, _bwd)
 # XLA oracle twin, spill monitor, split encode, layout converters
 # ---------------------------------------------------------------------------
 
-def lattice_encode_xla(x01, table_big, spec: LatticeSpec):
-    """Gather-based twin with identical lattice semantics (CPU oracle)."""
-    big = spec.split.big
+def lattice_encode_xla(x01, table_big, spec: LatticeSpec,
+                       _chunk: int = 1 << 17):
+    """Gather-based twin with identical lattice semantics (CPU oracle).
+
+    The point axis is chunked to <= 2^17: on real TPU, XLA miscompiles
+    the [Lb, 2^20]-operand take_along_axis at 2^19 indices per row —
+    the output TAIL (last ~128 columns of the last row) comes back as a
+    broadcast of one gathered element.  That corrupted oracle produced
+    the phantom "128 bad points at 2^19" the round-4 probes chased for
+    a day before tools/probe_519_oracle.py exonerated the Pallas engine
+    (engine vs numpy: 2.4e-7 max err, 0 bad; this oracle unchunked:
+    1.07e-4, 128 bad — LATTICE_519_oracle.json; minimal repro in
+    tools/probe_gather_miscompile.py / GATHER_miscompile.json)."""
     n = x01.shape[0]
+    if n > _chunk:
+        return jnp.concatenate([
+            lattice_encode_xla(x01[i:i + _chunk], table_big, spec)
+            for i in range(0, n, _chunk)], axis=0)
+    big = spec.split.big
     lb = spec.n_big
     scales = jnp.asarray(big.scales)[:, None, None]
     pos = x01[None] * scales + 0.5
@@ -829,8 +889,10 @@ def spill_fraction_lattice(x01, spec: LatticeSpec) -> jnp.ndarray:
     a = (skey.reshape(rows, geo.nblk, geo.block)[..., None]
          + offs_r[:, None, None, :])                  # [rows,nblk,blk,8]
     arow = a >> 6
-    bf = b_full.reshape(rows, geo.nblk, 1, 8)
-    bt = b_tail.reshape(rows, geo.nblk, 1, 8)
+    # strip the x1024 SMEM-tile padding _slab_bases appends per row
+    unpad = lambda b: b.reshape(rows, geo.bw)[:, :geo.nblk * 8]
+    bf = unpad(b_full).reshape(rows, geo.nblk, 1, 8)
+    bt = unpad(b_tail).reshape(rows, geo.nblk, 1, 8)
     rel = arow - bf
     uh = spec.split.big.use_hash
     dual = ~jnp.tile(jnp.asarray(uh), n_ch)[:, None, None, None]

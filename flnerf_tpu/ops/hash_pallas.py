@@ -142,51 +142,56 @@ def corner_indices_weights(x01: jnp.ndarray, spec: PackedHashSpec):
 def _fwd_kernel(hi_ref, lo_ref, w_ref, table_ref, *out_refs):
     """One (level, chunk): weighted corner features for the chunk.
 
-    Operands arrive COLUMN-packed as [1, 1, 256, CPR] tiles (corner f of the
-    chunk sits at sublane f %% 256, column f // 256): sub-column j is already
-    a [256, 1] sublane vector, so building the [256, T_r] one-hot needs no
-    lane->sublane relayout (the previous lane-packed layout spent most of
-    its time in those relayouts), and the feature store is a lane-indexed
-    column write.
+    Operands arrive COMPACT as [1, 1, CPR, WIDTH] tiles (corner f of the
+    chunk sits at row f // WIDTH, lane f %% WIDTH).  WIDTH=256 is the
+    LANE dim, so the HBM arrays carry zero tile padding — the previous
+    [WIDTH, CPR] layout put CPR=8..16 on lanes, a 8-16x padded-HBM
+    expansion (192 MB real -> 3.0 GB) that OOM'd large render sweeps and
+    paid 8-16x the DMA bytes per block.  One-hots are built in
+    TRANSPOSED orientation by broadcast compares (points stay on lanes),
+    so no in-kernel relayout is needed anywhere: the matmul contracts
+    table rows on the sublane side, the lo-select is a sublane-masked
+    reduction, and the feature store is a natural lane-major row write.
     """
-    width = hi_ref.shape[2]
-    cpr = hi_ref.shape[3]
+    cpr = hi_ref.shape[2]
+    width = hi_ref.shape[3]
     t_r = table_ref.shape[2]
     c_dim = table_ref.shape[1]
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, t_r), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
-    # all C channels side by side in lanes: one [T_r, C*128] matmul per col
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (t_r, width), 0)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, width), 0)
+    # all C channels side by side in lanes: one [T_r, C*128] matmul per row
     tab = jnp.concatenate(
         [table_ref[0, c].astype(jnp.bfloat16) for c in range(c_dim)], axis=1
     )
 
     for j in range(cpr):
-        hi = hi_ref[0, 0, :, j : j + 1]                          # [256, 1]
-        lo = lo_ref[0, 0, :, j : j + 1]
-        w = w_ref[0, 0, :, j]                                    # [256]
-        oh_hi = (hi == row_iota).astype(jnp.bfloat16)            # [256, T_r]
-        sel = lo == lane_iota                                    # [256, 128]
+        hi = hi_ref[0, 0, j, :][None, :]                         # [1, WIDTH]
+        lo = lo_ref[0, 0, j, :][None, :]
+        w = w_ref[0, 0, j, :]                                    # [WIDTH]
+        oh = (hi == row_iota).astype(jnp.bfloat16)               # [T_r, W]
+        sel = lo == sub_iota                                     # [128, W]
         rows = jax.lax.dot_general(
-            oh_hi, tab,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            tab, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                        # [256, C*128]
+        )                                                        # [C*128, W]
         for c in range(c_dim):
-            rc = rows[:, c * LANES : (c + 1) * LANES]
-            feat = jnp.sum(jnp.where(sel, rc, 0.0), axis=1)      # [256] col
-            out_refs[c][0, 0, :, j] = feat * w
+            rc = rows[c * LANES : (c + 1) * LANES, :]
+            feat = jnp.sum(jnp.where(sel, rc, 0.0), axis=0)      # [W] row
+            out_refs[c][0, 0, j, :] = feat * w
 
 
 def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
     """One (level, chunk): accumulate grad_table += OH_hi^T @ (OH_lo * v);
-    column-packed [1, 1, WIDTH, CPR] operand tiles like the forward."""
+    compact [1, 1, CPR, WIDTH] operand tiles like the forward (points on
+    lanes, transposed-orientation one-hots — see _fwd_kernel)."""
     c_dim = len(v_grad_acc) - 2             # v_refs..., grad_ref, acc_ref
     v_refs = v_grad_acc[:c_dim]
     grad_ref = v_grad_acc[c_dim]
     acc_ref = v_grad_acc[c_dim + 1]
-    width = hi_ref.shape[2]
-    cpr = hi_ref.shape[3]
+    cpr = hi_ref.shape[2]
+    width = hi_ref.shape[3]
     t_r = acc_ref.shape[1]
     chunk_idx = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -195,27 +200,27 @@ def _bwd_kernel(hi_ref, lo_ref, *v_grad_acc):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (width, t_r), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (t_r, width), 0)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, width), 0)
 
     for j in range(cpr):
-        hi = hi_ref[0, 0, :, j : j + 1]                         # [256, 1]
-        lo = lo_ref[0, 0, :, j : j + 1]
-        oh_hi = (hi == row_iota).astype(jnp.bfloat16)           # [256, T_r]
-        oh_lo = lo == lane_iota                                 # [256, 128]
-        # all C channels side by side: one [256, C*128] rhs per column
+        hi = hi_ref[0, 0, j, :][None, :]                        # [1, WIDTH]
+        lo = lo_ref[0, 0, j, :][None, :]
+        oh_hi = (hi == row_iota).astype(jnp.bfloat16)           # [T_r, W]
+        oh_lo = lo == sub_iota                                  # [128, W]
+        # all C channels stacked on sublanes: one [C*128, W] rhs per row
         b = jnp.concatenate(
             [
                 jnp.where(
-                    oh_lo, v_refs[c][0, 0, :, j : j + 1], 0.0
+                    oh_lo, v_refs[c][0, 0, j, :][None, :], 0.0
                 ).astype(jnp.bfloat16)
                 for c in range(c_dim)
             ],
-            axis=1,
+            axis=0,
         )
         g = jax.lax.dot_general(
             oh_hi, b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                       # [T_r, C*128]
         for c in range(c_dim):
@@ -241,9 +246,10 @@ WIDTH = 256          # lane-packed tile width (2 lane tiles)
 
 
 def _prep(hi, lo, w, chunk):
-    """Pad + column-pack to [L, n_chunks, WIDTH, CPR]: corner f of chunk k
-    sits at [:, k, f % WIDTH, f // WIDTH] (sublane-major within the chunk,
-    so each in-kernel column slice is already a sublane vector)."""
+    """Pad + pack to the COMPACT [L, n_chunks, CPR, WIDTH] layout: corner
+    f of chunk k sits at [:, k, f // WIDTH, f % WIDTH] — a plain reshape
+    (no transpose), and WIDTH=256 on the lane dim means the HBM arrays
+    carry zero tile padding (the old lane=CPR layout padded 8-16x)."""
     L = hi.shape[0]
     n8 = hi.shape[1]
     n8_pad = (n8 + chunk - 1) // chunk * chunk
@@ -255,9 +261,7 @@ def _prep(hi, lo, w, chunk):
     cpr = chunk // WIDTH
 
     def pack(a):
-        return jnp.transpose(
-            a.reshape(L, n8_pad // chunk, cpr, WIDTH), (0, 1, 3, 2)
-        )
+        return a.reshape(L, n8_pad // chunk, cpr, WIDTH)
 
     return pack(hi), pack(lo), pack(w), n8_pad
 
@@ -272,7 +276,7 @@ def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
     cpr = chunk // WIDTH
 
     tile = pl.BlockSpec(
-        (1, 1, WIDTH, cpr), lambda l, c: (l, c, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, cpr, WIDTH), lambda l, c: (l, c, 0, 0), memory_space=pltpu.VMEM
     )
     feats = pl.pallas_call(
         _fwd_kernel,
@@ -286,16 +290,14 @@ def _hash_encode_fwd(x01, table, spec: PackedHashSpec, chunk: int):
         ],
         out_specs=tuple(tile for _ in range(C)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((L, n_chunks, WIDTH, cpr), jnp.float32)
+            jax.ShapeDtypeStruct((L, n_chunks, cpr, WIDTH), jnp.float32)
             for _ in range(C)
         ),
     )(hi3, lo3, w3, table)
 
-    # unpack column layout -> flat corners -> per-point sum -> [N, L*C]
+    # unpack (a plain reshape) -> flat corners -> per-point sum -> [N, L*C]
     out = jnp.stack(
-        [
-            jnp.transpose(f, (0, 1, 3, 2)).reshape(L, n8_pad) for f in feats
-        ],
+        [f.reshape(L, n8_pad) for f in feats],
         -1,
     )                                                           # [L, n8, C]
     out = out[:, : n * 8, :].reshape(L, n, 8, C).sum(axis=2)
@@ -316,15 +318,12 @@ def _hash_encode_bwd(spec: PackedHashSpec, chunk: int, res, g):
     if v.shape[1] != n8_pad:
         v = jnp.pad(v, ((0, 0), (0, n8_pad - v.shape[1]), (0, 0)))
     v_packed = [
-        jnp.transpose(
-            v[..., c].reshape(L, n_chunks, cpr, WIDTH), (0, 1, 3, 2)
-        )
-        * w3
+        v[..., c].reshape(L, n_chunks, cpr, WIDTH) * w3
         for c in range(C)
     ]
 
     tile = pl.BlockSpec(
-        (1, 1, WIDTH, cpr), lambda l, c: (l, c, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, cpr, WIDTH), lambda l, c: (l, c, 0, 0), memory_space=pltpu.VMEM
     )
     grad = pl.pallas_call(
         _bwd_kernel,
@@ -347,9 +346,20 @@ hash_encode_pallas.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 # Pure-XLA twin (the "use_kernel=False" analog; correctness oracle in tests)
 # ---------------------------------------------------------------------------
 
-def hash_encode_xla(x01, table, spec: PackedHashSpec):
-    """Same math via jnp gathers (slow on TPU; differentiable)."""
+def hash_encode_xla(x01, table, spec: PackedHashSpec,
+                    _chunk: int = 1 << 17):
+    """Same math via jnp gathers (slow on TPU; differentiable).
+
+    Chunked to <= 2^17 points per gather as a guard against the TPU XLA
+    large-gather tail miscompile that corrupted lattice_encode_xla at
+    2^19 indices/row (see that docstring; GATHER_miscompile.json).  This
+    oracle's shape measured clean at 2^19 (LATTICE_519.json small_path
+    n_bad=0) but the guard costs nothing on an oracle path."""
     n = x01.shape[0]
+    if n > _chunk:
+        return jnp.concatenate([
+            hash_encode_xla(x01[i:i + _chunk], table, spec)
+            for i in range(0, n, _chunk)], axis=0)
     hi, lo, w = corner_indices_weights(x01, spec)
     idx = hi * LANES + lo                                     # [L, N*8]
     L, C = spec.num_levels, spec.level_dim

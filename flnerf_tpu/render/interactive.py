@@ -150,8 +150,10 @@ class InteractiveSession:
 
         loss = self.trainer.history[-1]["loss"] if self.trainer.history else 0.0
         lr = cfg.lr * 0.1 ** (self.step / cfg.max_steps)
+        # report the steps actually RUN this frame (chunk-quantized n),
+        # not the adapted next-frame target, which need not be quantized
         return {"loss": float(loss), "lr": float(lr), "time_ms": t,
-                "train_steps": self.train_steps}
+                "train_steps": n}
 
     # -- render side -----------------------------------------------------
     def _render(self, downscale: float):

@@ -205,8 +205,11 @@ def _density_sweep(params, density_fn, cells, key, g: int,
     chunk = min(chunk, n)
     n_pad = -(-n // chunk) * chunk          # any grid size, e.g. 96^3
     if n_pad != n:
-        xyz = jnp.concatenate(
-            [xyz, jnp.zeros((n_pad - n, 3), xyz.dtype)], 0)
+        # wrap-tile pads (see ngp_render_image): a duplicated-constant pad
+        # chunk halves that call's real-key density and undersizes the
+        # lattice engine's slab spans — uniform duplicates keep them exact
+        reps = -(-n_pad // n)
+        xyz = jnp.tile(xyz, (reps, 1))[:n_pad]
     xyz_c = jax.lax.stop_gradient(xyz).reshape(n_pad // chunk, chunk, 3)
 
     def body(carry, xc):
@@ -421,25 +424,29 @@ def ngp_render_image(
 
     if bg_color is not None:
         cfg = cfg._replace(bg_color=float(bg_color))
-    # keep the per-chunk candidate-encode inside the hash engines'
-    # VALIDATED point envelope (<= 2^19 points = the training shape):
-    # the lattice kernel at the 2^20 (chunk 8192 x 128 candidates) grid
-    # silently degrades on real TPU (LATTICE_diagnose.json: 32.9 dB at
-    # chunk 8192 vs 38.2 dB at 4096/oracle, same params) — clamping the
-    # ray chunk costs nothing (chunks are compiled once) and keeps eval
-    # bit-comparable to training
-    chunk = min(chunk, max(128, (1 << 19) // max(cfg.n_candidates, 1)))
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     n = rays_o.shape[0]
+    # never render chunks larger than the image (a chunk > n is pure
+    # padding work), but keep the caller's chunking otherwise
+    chunk = min(chunk, (n + 127) // 128 * 128)
     n_pad = (n + chunk - 1) // chunk * chunk
     if n_pad != n:
-        pad = n_pad - n
-        rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))], 0)
-        rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))], 0)
+        # Pad by WRAP-TILING the real rays, NOT by broadcasting one ray:
+        # the lattice hash engine sizes its slab spans from the call's
+        # point count assuming (near-)uniform key duplication — a padded
+        # half-batch of ONE duplicated ray halves the real-key density,
+        # undersizes every hashed level's slab 2x, and silently drops
+        # corners (the round-3 "lattice quality gap": 32.9 dB at chunk
+        # 8192 on a 4096-ray image vs 38.2 at chunk 4096, same params —
+        # LATTICE_diagnose.json).  Uniformly-duplicated pads keep the
+        # sorted-key density exactly at the sizing assumption.
+        reps = -(-n_pad // n)
+        rays_o = jnp.tile(rays_o, (reps, 1))[:n_pad]
+        rays_d = jnp.tile(rays_d, (reps, 1))[:n_pad]
 
     render = _eval_chunk(density_fn, rgb_fn, cfg, timed=time is not None,
                          bg_fn=bg_fn)

@@ -160,6 +160,37 @@ def test_spill_zero_uniform():
     assert float(spill_fraction_lattice(x, SPEC)) == 0.0
 
 
+def test_oracle_chunking_bit_exact():
+    """lattice_encode_xla chunks its gather to dodge the TPU XLA
+    large-gather tail miscompile (GATHER_miscompile.json); chunked and
+    unchunked must agree bit-for-bit (pure reshaping, same math)."""
+    _, tb = _tables(SPEC)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (517, 3))
+    full = lattice_encode_xla(x, tb, SPEC)
+    chunked = lattice_encode_xla(x, tb, SPEC, _chunk=128)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
+def test_pad_duplicate_uniformity_contract():
+    """The duplicate-uniformity caller contract (module docstring): a
+    batch padded by WRAP-TILING real points keeps slab sizing exact and
+    stays parity-clean, while the old broadcast-one-point padding halves
+    the real-key density and measurably spills (the round-3 "lattice
+    quality gap" mechanism, LATTICE_diagnose.json 32.9 vs 38.2 dB)."""
+    _, tb = _tables(SPEC)
+    half = jax.random.uniform(jax.random.PRNGKey(21), (2048, 3))
+    wrap = jnp.tile(half, (2, 1))
+    ref = lattice_encode_xla(wrap, tb, SPEC)
+    out = lattice_encode(wrap, tb, SPEC)
+    np.testing.assert_allclose(out, ref, atol=1.2e-5)
+    assert float(spill_fraction_lattice(wrap, SPEC)) == 0.0
+    # the mechanism is visible in the spill monitor: one duplicated pad
+    # point concentrates its mass and undersizes real blocks' slabs
+    dummy = jnp.concatenate(
+        [half, jnp.broadcast_to(half[-1:], (2048, 3))], 0)
+    assert float(spill_fraction_lattice(dummy, SPEC)) > 1e-3
+
+
 def test_multipliers_alias_distance():
     m = _pick_multipliers(1 << 19, 14)
     assert m.shape == (14, 3)
@@ -210,8 +241,10 @@ def _alias_window_corners(x, spec):
     a = (np.asarray(skey).reshape(rows, geo.nblk, geo.block)[..., None]
          + offs[:, None, None, :])
     arow = a >> 6
-    rel = arow - np.asarray(b_full).reshape(rows, geo.nblk, 1, 8)
-    rel_t = arow - np.asarray(b_tail).reshape(rows, geo.nblk, 1, 8)
+    # strip the x1024 SMEM-tile padding _slab_bases appends per row
+    unpad = lambda b: np.asarray(b).reshape(rows, geo.bw)[:, :geo.nblk * 8]
+    rel = arow - unpad(b_full).reshape(rows, geo.nblk, 1, 8)
+    rel_t = arow - unpad(b_tail).reshape(rows, geo.nblk, 1, 8)
     uh = np.asarray(spec.split.big.use_hash)
     r_eff = np.tile(np.where(uh, geo.r_hash, geo.r_dense),
                     n_ch).astype(np.int32)[:, None, None, None]
