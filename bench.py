@@ -419,7 +419,7 @@ def bench_hash_lattice():
 # Time-to-PSNR benches (full-image train-view eval, training-only clock)
 # ---------------------------------------------------------------------------
 
-def bench_time_to_psnr(seeds=(0, 1), H=64, reso=96, n_train=32,
+def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
                        target=20.0, early_stop=22.0, n_epoch=96,
                        budget_s=150.0):
     """Plenoxels wall-clock to full-image train-view PSNR ``target``.
@@ -464,7 +464,7 @@ def bench_time_to_psnr(seeds=(0, 1), H=64, reso=96, n_train=32,
     tc0 = time.time()
     warm_b = RayBudgeter(images[tr], o, d, init_level=2, seed=0)
     trainer.run_epoch_rays(warm_b.gen_rays(down_scale=1))
-    trainer.eval_images(poses[tr][:2], images[tr][:2], H, W, K, chunk=4096)
+    trainer.eval_images(poses[tr][:4], images[tr][:4], H, W, K, chunk=4096)
     compile_s = time.time() - tc0
 
     tts, total_rays = [], []
@@ -493,10 +493,12 @@ def bench_time_to_psnr(seeds=(0, 1), H=64, reso=96, n_train=32,
             budgeter.adjust(stat, tcfg.subdivide_thres,
                             min_area_floor=budgeter.starvation_floor())
             train_s += time.time() - t0
-            # 2-view mean eval: a single view's PSNR is seed/allocation
+            # 4-view mean eval: a single view's PSNR is seed/allocation
             # sensitive (one r4 seed plateaued at 19 dB on view 0 while
-            # crossing on other views)
-            psnr, _ = trainer.eval_images(poses[tr][:2], images[tr][:2],
+            # crossing on others; a 2-view mean still stalled seed 0 at
+            # 17.9 while the 1-view novelview probe crossed 20.3 on the
+            # same run) — more views average the allocation noise out
+            psnr, _ = trainer.eval_images(poses[tr][:4], images[tr][:4],
                                           H, W, K, chunk=4096)
             rec.record(psnr=psnr, epoch=epoch_id, wall_s=train_s,
                        rays=ep.origins.shape[0])
@@ -557,7 +559,10 @@ def bench_ngp_time_to_psnr(seeds=(0, 1), synth_h=64, target=20.0,
             train_s += time.time() - t0
             psnr, _ = t2.eval_images(poses[tr][:1], images[tr][:1], H, W, K)
             rec.record(psnr=psnr, step=int(t2.state.step), wall_s=train_s)
-            if psnr >= target + 2.0:
+            # densify the curve (VERDICT r3 #9): don't stop at the first
+            # post-target eval — a 2-sample artifact can't show a
+            # regression next round
+            if psnr >= target + 2.0 and len(rec.samples) >= 8:
                 break
         tts.append(rec.time_to_psnr(target))
         rec0 = rec0 or rec
@@ -612,38 +617,46 @@ def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
     trainer.run_epoch_rays(budgeter().gen_rays(down_scale=1),
                            jax.random.PRNGKey(0))       # compile warmup
     eval_psnr(trainer)
-    trainer = NerfPPTrainer(mcfg, tcfg)                 # fresh params
-    b = budgeter()
 
-    rec = BenchRecorder(meta={
-        "scene": "synthetic_nerfpp", "backend": "nerfpp",
-        "psnr_kind": "full-image train-view eval (off the clock)"})
-    key = jax.random.PRNGKey(1)
-    train_s = 0.0
-    tt = None
-    for epoch_id in range(1, max_epochs + 1):
-        key, sub = jax.random.split(key)
-        t0 = time.time()
-        ep = b.gen_rays(down_scale=1)
-        stat, _ = trainer.run_epoch_rays(ep, sub)
-        # reference cadence + derived starvation floor (quadtree.py)
-        if epoch_id % 3 == 0:
-            b.adjust(stat, 0.02, min_area_floor=b.starvation_floor())
-        train_s += time.time() - t0
-        psnr = eval_psnr(trainer)
-        rec.record(psnr=psnr, epoch=epoch_id, wall_s=train_s,
-                   rays=ep.origins.shape[0])
-        tt = rec.time_to_psnr(target)
-        if tt is not None or train_s > budget_s:
-            break
-    rec.save("BENCH_time_to_psnr_nerfpp.json")
+    tts, rec0 = [], None
+    for seed in (0, 1):
+        trainer = NerfPPTrainer(mcfg, tcfg._replace(seed=777 + seed))
+        b = budgeter(seed)
+        rec = BenchRecorder(meta={
+            "scene": "synthetic_nerfpp", "backend": "nerfpp", "seed": seed,
+            "psnr_kind": "full-image train-view eval (off the clock)"})
+        key = jax.random.PRNGKey(1 + seed)
+        train_s = 0.0
+        tt = None
+        for epoch_id in range(1, max_epochs + 1):
+            key, sub = jax.random.split(key)
+            t0 = time.time()
+            ep = b.gen_rays(down_scale=1)
+            stat, _ = trainer.run_epoch_rays(ep, sub)
+            # reference cadence + derived starvation floor (quadtree.py)
+            if epoch_id % 3 == 0:
+                b.adjust(stat, 0.02, min_area_floor=b.starvation_floor())
+            train_s += time.time() - t0
+            psnr = eval_psnr(trainer)
+            rec.record(psnr=psnr, epoch=epoch_id, wall_s=train_s,
+                       rays=ep.origins.shape[0])
+            tt = rec.time_to_psnr(target)
+            if tt is not None or train_s > budget_s:
+                break
+        tts.append(tt)
+        rec0 = rec0 or rec
+    ok = [t for t in tts if t is not None]
+    rec0.meta["tts_per_seed"] = tts
+    rec0.save("BENCH_time_to_psnr_nerfpp.json")
+    val = float(np.mean(ok)) if ok else -1.0
+    spread = (100.0 * (max(ok) - min(ok)) / val) if len(ok) > 1 else 0.0
     emit(f"nerfpp_synth_time_to_psnr{int(target)}_s",
-         tt if tt is not None else -1.0, "s",
-         1.0 if tt is not None else 0.0, failed=tt is None,
+         val, "s", 1.0 if len(ok) == len(tts) else 0.0,
+         failed=not ok,
          baseline="absolute (no external reference at this scene); "
          "full-image train-view eval, training-only clock",
-         n_reps=1)
-    return tt
+         n_reps=len(tts), spread_pct=spread)
+    return val
 
 
 def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
@@ -700,7 +713,8 @@ def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
             psnr, _ = t.eval_images(poses[tr][:1], images[tr][:1],
                                     Hh, Ww, K)
             rec.record(psnr=psnr, step=int(t.state.step), wall_s=train_s)
-            if psnr >= target + 2.0:
+            # densify the curve (VERDICT r3 #9) — see bench_ngp_time_to_psnr
+            if psnr >= target + 2.0 and len(rec.samples) >= 8:
                 break
         tts.append(rec.time_to_psnr(target))
         rec0 = rec0 or rec

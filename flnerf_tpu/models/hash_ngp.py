@@ -261,7 +261,9 @@ def init_ngp(key, cfg: NGPConfig) -> Params:
     return params
 
 
-def _mlp(x, layers, compute_dtype):
+def mlp_chain(x, layers, compute_dtype):
+    """Bias-free relu MLP as bf16 matmuls accumulating in fp32 — the ffmlp
+    analog, shared by every field backend (tensorf/ccnerf/sdf heads)."""
     h = x.astype(compute_dtype)
     for i, w in enumerate(layers):
         h = jax.lax.dot_general(
@@ -272,6 +274,9 @@ def _mlp(x, layers, compute_dtype):
         if i != len(layers) - 1:
             h = jax.nn.relu(h).astype(compute_dtype)
     return h  # fp32 (preferred_element_type)
+
+
+_mlp = mlp_chain
 
 
 def ngp_density(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from flnerf_tpu.models.hash_ngp import mlp_chain
 from flnerf_tpu.ops.hash_pallas import (
     PackedHashSpec,
     hash_encode_pallas,
@@ -88,14 +89,7 @@ def make_sdf_field(cfg: SDFConfig, compute_dtype=jnp.bfloat16):
             h = hash_encode_pallas(x01, params["table"], spec, cfg.hash_chunk)
         else:
             h = hash_encode_xla(x01, params["table"], spec)
-        for l, w in enumerate(params["net"]):
-            h = jax.lax.dot_general(
-                h.astype(compute_dtype), w.astype(compute_dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if l != len(params["net"]) - 1:
-                h = jax.nn.relu(h)
+        h = mlp_chain(h, params["net"], compute_dtype)
         return h[..., 0].reshape(sh)
 
     return init_fn, sdf_fn

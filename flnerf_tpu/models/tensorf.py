@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flnerf_tpu.models.hash_ngp import mlp_chain
 from flnerf_tpu.models.nerf_mlp import embed_fn, embedder_out_dim
 from flnerf_tpu.ops.activations import trunc_exp
 
@@ -162,15 +163,8 @@ def make_tensorf_field(cfg: TensoRFConfig, compute_dtype=jnp.bfloat16):
         sh = d.shape[:-1]
         ef = embed_fn(color_feat.reshape(-1, cfg.color_feat_dim), cfg.feat_multires)
         ed = embed_fn(d.reshape(-1, 3), cfg.dir_multires)
-        h = jnp.concatenate([ef, ed], -1)
-        for l, w in enumerate(params["color_net"]):
-            h = jax.lax.dot_general(
-                h.astype(compute_dtype), w.astype(compute_dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if l != len(params["color_net"]) - 1:
-                h = jax.nn.relu(h)
+        h = mlp_chain(jnp.concatenate([ef, ed], -1),
+                      params["color_net"], compute_dtype)
         return jax.nn.sigmoid(h).reshape(*sh, 3)
 
     return init_fn, density_fn, rgb_fn

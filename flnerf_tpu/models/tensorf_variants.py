@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flnerf_tpu.models.hash_ngp import mlp_chain
 from flnerf_tpu.models.nerf_mlp import embed_fn, embedder_out_dim
 from flnerf_tpu.models.tensorf import (
     TensoRFConfig,
@@ -109,21 +110,7 @@ def make_cp_field(cfg: CPConfig, compute_dtype=jnp.bfloat16):
 
     def rgb_fn(params, d, feat):
         sh = d.shape[:-1]
-        h = jnp.concatenate(
-            [
-                embed_fn(feat.reshape(-1, feat.shape[-1]), cfg.feat_multires),
-                embed_fn(d.reshape(-1, 3), cfg.dir_multires),
-            ],
-            -1,
-        )
-        for l, w in enumerate(params["color_net"]):
-            h = jax.lax.dot_general(
-                h.astype(compute_dtype), w.astype(compute_dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if l != len(params["color_net"]) - 1:
-                h = jax.nn.relu(h)
+        h = _ccnerf_color_logits(params, d, feat, cfg, compute_dtype)
         return jax.nn.sigmoid(h).reshape(*sh, 3)
 
     return init_fn, density_fn, rgb_fn
@@ -274,21 +261,7 @@ def make_ccnerf_field(cfg: CCNeRFConfig, level: int = -1, compute_dtype=jnp.bflo
 
     def rgb_fn(params, d, feat):
         sh = d.shape[:-1]
-        h = jnp.concatenate(
-            [
-                embed_fn(feat.reshape(-1, feat.shape[-1]), cfg.feat_multires),
-                embed_fn(d.reshape(-1, 3), cfg.dir_multires),
-            ],
-            -1,
-        )
-        for l, w in enumerate(params["color_net"]):
-            h = jax.lax.dot_general(
-                h.astype(compute_dtype), w.astype(compute_dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if l != len(params["color_net"]) - 1:
-                h = jax.nn.relu(h)
+        h = _ccnerf_color_logits(params, d, feat, cfg, compute_dtype)
         return jax.nn.sigmoid(h).reshape(*sh, 3)
 
     return init_fn, density_fn, rgb_fn
@@ -320,7 +293,7 @@ def _to_object_frame(x, obj: ComposedObject):
 
 def _ccnerf_color_logits(params: Params, d, feat, cfg: CCNeRFConfig,
                          compute_dtype=jnp.bfloat16):
-    """Pre-sigmoid color head (shared by the single-object rgb_fn and the
+    """Pre-sigmoid color head (shared by the CP/CCNeRF rgb_fns and the
     softmax blend of the composed forward)."""
     h = jnp.concatenate(
         [
@@ -329,15 +302,7 @@ def _ccnerf_color_logits(params: Params, d, feat, cfg: CCNeRFConfig,
         ],
         -1,
     )
-    for l, w in enumerate(params["color_net"]):
-        h = jax.lax.dot_general(
-            h.astype(compute_dtype), w.astype(compute_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if l != len(params["color_net"]) - 1:
-            h = jax.nn.relu(h)
-    return h
+    return mlp_chain(h, params["color_net"], compute_dtype)
 
 
 def compose_ccnerf_fields(objects: Sequence[ComposedObject],
