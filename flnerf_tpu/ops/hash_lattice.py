@@ -833,9 +833,9 @@ def lattice_encode_xla(x01, table_big, spec: LatticeSpec,
     the output TAIL (last ~128 columns of the last row) comes back as a
     broadcast of one gathered element.  That corrupted oracle produced
     the phantom "128 bad points at 2^19" the round-4 probes chased for
-    a day before tools/probe_519_oracle.py exonerated the Pallas engine
+    a day before a numpy cross-check exonerated the Pallas engine
     (engine vs numpy: 2.4e-7 max err, 0 bad; this oracle unchunked:
-    1.07e-4, 128 bad — LATTICE_519_oracle.json; minimal repro in
+    1.07e-4, 128 bad; minimal repro + trigger envelope in
     tools/probe_gather_miscompile.py / GATHER_miscompile.json)."""
     n = x01.shape[0]
     if n > _chunk:

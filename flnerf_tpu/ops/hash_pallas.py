@@ -353,8 +353,8 @@ def hash_encode_xla(x01, table, spec: PackedHashSpec,
     Chunked to <= 2^17 points per gather as a guard against the TPU XLA
     large-gather tail miscompile that corrupted lattice_encode_xla at
     2^19 indices/row (see that docstring; GATHER_miscompile.json).  This
-    oracle's shape measured clean at 2^19 (LATTICE_519.json small_path
-    n_bad=0) but the guard costs nothing on an oracle path."""
+    oracle's shape measured clean at 2^19 (round-4 probe, n_bad=0) but
+    the guard costs nothing on an oracle path."""
     n = x01.shape[0]
     if n > _chunk:
         return jnp.concatenate([

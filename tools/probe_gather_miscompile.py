@@ -1,5 +1,5 @@
 """Minimal repro for the TPU XLA gather tail corruption that produced
-the phantom "2^19 lattice defect" (LATTICE_519_oracle.json).
+the phantom "2^19 lattice defect" (round 4; GATHER_miscompile.json).
 
 jnp.take_along_axis on a [14, 2^20] f32 operand with [14, N] int32
 indices: at N = 2^19 the LAST ~128 outputs of the LAST row come back
