@@ -69,13 +69,21 @@ def load_ply_ascii(path: str):
                 order.append(name)
         body = f.read().decode("ascii", "replace").split("\n")
     rows = [r for r in body if r.strip()]
+    # walk the body in the header's declared element order — a PLY may
+    # legally declare `element face` before `element vertex`
+    offsets, off = {}, 0
+    for name in order:
+        offsets[name] = off
+        off += counts[name]
     nv = counts.get("vertex", 0)
+    v0 = offsets.get("vertex", 0)
     verts = np.asarray(
-        [[float(t) for t in rows[i].split()[:3]] for i in range(nv)],
+        [[float(t) for t in rows[v0 + i].split()[:3]] for i in range(nv)],
         np.float32)
     faces = []
+    f0 = offsets.get("face", nv)
     for i in range(counts.get("face", 0)):
-        t = rows[nv + i].split()
+        t = rows[f0 + i].split()
         k = int(t[0])
         idx = [int(v) for v in t[1:1 + k]]
         for j in range(1, k - 1):

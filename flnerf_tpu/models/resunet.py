@@ -118,13 +118,16 @@ def _upsample2_ac(x):
     return out.astype(x.dtype)
 
 
-def _skip(x1, x2):
-    """Pad x1 to x2's spatial size, concat channels (model.py:301)."""
-    dh = x2.shape[1] - x1.shape[1]
-    dw = x2.shape[2] - x1.shape[2]
-    x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
-                      (dw // 2, dw - dw // 2), (0, 0)))
-    return jnp.concatenate([x2, x1], axis=-1)
+def _skip(up, skip):
+    """skipconnect (model.py:301-313): pad the SKIP tensor to the
+    upsampled one's spatial size, concat [upsampled, skip].  The pad
+    target and channel order match the reference exactly so a ported
+    ResNet34/decoder checkpoint maps channel-for-channel."""
+    dh = up.shape[1] - skip.shape[1]
+    dw = up.shape[2] - skip.shape[2]
+    skip = jnp.pad(skip, ((0, 0), (dh // 2, dh - dh // 2),
+                          (dw // 2, dw - dw // 2), (0, 0)))
+    return jnp.concatenate([up, skip], axis=-1)
 
 
 def init_resunet(key, cfg: ResUNetConfig = ResUNetConfig()):

@@ -571,7 +571,7 @@ def tv_loss_lumisphere(grid: "VoxelGrid", cfg: "VoxelGridConfig", key,
     spatial part rides the random-z-slab estimator (tv_loss_slab with a
     transform, unbiased, no scatter) and the contraction happens ONLY on
     the slab.  The direction is a fresh uniform unit vector per step."""
-    kd, kz, kp = jax.random.split(key, 3)
+    kd, kz, kp, ka = jax.random.split(key, 4)
     u = jax.random.normal(kd, (3,))
     u = u / (jnp.linalg.norm(u) + 1e-9)
     bv = eval_basis(grid, u[None], cfg)[0]            # [basis_dim]
@@ -591,14 +591,22 @@ def tv_loss_lumisphere(grid: "VoxelGrid", cfg: "VoxelGridConfig", key,
             return radiance(sub, bv2) - radiance(sub, bv)
         X, Y, Z = grid.sh.shape[:3]
         S = int(min(slab, Z))
-        z0 = jax.random.randint(kp, (), 0, Z - S + 1)
+        n_starts = Z - S + 1
+        z0 = jax.random.randint(ka, (), 0, n_starts)
         sub = jax.lax.dynamic_slice(
             grid.sh, (0, 0, z0, 0), (X, Y, S, grid.sh.shape[3]))
         d = ang(sub)
         if grid.alive is not None:
             am = jax.lax.dynamic_slice(grid.alive, (0, 0, z0), (X, Y, S))
             d = jnp.where(am[..., None], d, 0.0)
-        tv = tv + dir_factor * jnp.sum(d ** 2) / (X * Y * Z)
+        # same 1/p_xy inverse-inclusion weighting as tv_loss_slab:
+        # without it the slab estimate's expectation scales with slab/Z
+        # and a tuned dir_factor would not transfer across slab settings
+        g = z0 + jnp.arange(S)
+        p = (jnp.minimum(g, Z - S) - jnp.maximum(0, g - S + 1)
+             + 1.0) / n_starts
+        tv = tv + dir_factor * jnp.sum(
+            jnp.sum(d ** 2, axis=(0, 1, 3)) / p) / (X * Y * Z)
     return tv
 
 

@@ -95,3 +95,21 @@ def test_main_sdf_mesh_path(tmp_path, monkeypatch):
               "--batch", "256", "--mesh_reso", "24"])
     assert np.isfinite(r["loss"])
     assert os.path.exists(str(tmp_path / "ws" / "mesh.obj"))
+
+
+def test_ply_face_element_declared_first(tmp_path):
+    """A PLY may legally declare `element face` before `element vertex`;
+    the body rows must be walked in the header's declared order."""
+    tri_v = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+    header = "\n".join([
+        "ply", "format ascii 1.0",
+        "element face 1", "property list uchar int vertex_indices",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+        "end_header"])
+    body = "3 0 1 2\n" + "\n".join(f"{x} {y} {z}" for x, y, z in tri_v)
+    p = tmp_path / "f_first.ply"
+    p.write_text(header + "\n" + body + "\n")
+    verts, faces = load_mesh(str(p))
+    np.testing.assert_allclose(verts, np.asarray(tri_v, np.float32))
+    np.testing.assert_array_equal(faces, [[0, 1, 2]])

@@ -440,3 +440,43 @@ def test_trainer_lumisphere_tv_runs():
     import pytest
     with pytest.raises(ValueError):
         PlenoxelsTrainer(_cfg(), tcfg._replace(use_kernel=True))
+
+
+def test_tv_lumisphere_angular_unbiased():
+    """Averaging the dir_factor (angular) term over every slab start must
+    equal the slab == Z value: the 1/p_xy weighting makes the random-slab
+    angular estimator unbiased, so a tuned dir_factor transfers across
+    slab settings (ADVICE r4)."""
+    from flnerf_tpu.models.voxel_sh import init_voxel_grid, tv_loss_lumisphere
+    import flnerf_tpu.models.voxel_sh as vs
+
+    cfg = _cfg(reso=(6, 6, 9), basis_type="3d_texture", basis_dim=9,
+               basis_reso=8)
+    rng = np.random.default_rng(2)
+    grid = init_voxel_grid(cfg)
+    grid = grid._replace(
+        sh=jnp.asarray(rng.standard_normal(grid.sh.shape), jnp.float32),
+        basis=jnp.asarray(rng.standard_normal(grid.basis.shape),
+                          jnp.float32),
+        alive=jnp.asarray(rng.random((6, 6, 9)) > 0.3))
+    key = jax.random.PRNGKey(7)
+    Z, S = 9, 4
+
+    def only_angular(slab, z0_stub=None):
+        """spatial part cancels: (dir_factor=1) - (dir_factor=0)."""
+        orig = jax.random.randint
+        try:
+            if z0_stub is not None:
+                jax.random.randint = (
+                    lambda key, shape, lo, hi, _z=z0_stub: jnp.asarray(_z))
+            hi = float(tv_loss_lumisphere(grid, cfg, key, slab,
+                                          dir_factor=1.0))
+            lo = float(tv_loss_lumisphere(grid, cfg, key, slab,
+                                          dir_factor=0.0))
+        finally:
+            jax.random.randint = orig
+        return hi - lo
+
+    dense = only_angular(Z)
+    est = [only_angular(S, z0_stub=z0) for z0 in range(Z - S + 1)]
+    np.testing.assert_allclose(np.mean(est), dense, rtol=1e-5)
