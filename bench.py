@@ -28,13 +28,18 @@ Metrics:
   3. plenoxels_train_rays_per_sec_per_chip — fused Pallas voxel render
      full value_and_grad steps, 128^3, 512 steps, dense.  Baseline
      (SELF-multiple): this repo's pure-XLA gather path (1,339 rays/s).
+  3b. plenoxels_256_train_rays_per_sec_per_chip — the same kernel at the
+     reference's 256^3 scale (opt.py:104-151) with mip occupancy
+     skipping on a coherent scene + stochastic slab TV in the loss.
   4. ngp_train_rays_per_sec_per_chip — hash-NGP trainer at torch-ngp's
      FULL 2^19 table capacity, 4096 rays/step, occupancy marching,
      bf16.  Baseline (external): torch-ngp -O lego 97 it/s x 4096 ~
      397k rays/s on a V100 (ngp-ours/readme.md:211).
   5. ngp_train_perflop_vs_torch_ngp — the same rays/s normalized by
      chip matmul rate (33 TFLOP/s bf16 here vs ~125 TFLOP/s fp16 V100):
-     the "fast for this chip" audit line.
+     the "fast for this chip" audit line.  Plus
+     ngp_train_achieved_tflops: the model-flops MFU audit (MLP+trilerp
+     MACs x rays/s vs the 33 TFLOP/s roof).
   6. nerfpp_truck_train_rays_per_sec_per_chip — NeRF++ cascade steps at
      the truck batch size.  Baseline (external): the reference's own
      cost note (45 s / 100 iters, batch 2880, 3 GPUs,
@@ -49,11 +54,20 @@ Metrics:
      ray-gen bugs and out-of-distribution test poses; VERDICT r3 #6).
  10. nerf_synth_time_to_psnr20_s + quadtree_speedup_time_to_psnr — from
      the NeRF-backend quadtree-vs-allpixel ablation
-     (tools/ablation_quadtree.py, 2 seeds, early-stopped): the paper's
-     thesis (reference README.md:12-13) measured on TPU.  The speedup
-     is reported at the HIGHEST PSNR threshold that both arms reach in
-     both seeds — the few-ray win lives in the high-PSNR regime
-     (BENCH_ablation_quadtree.json: 1.17x at 28 -> 2.41x at 34).
+     (tools/ablation_quadtree.py): the paper's thesis (reference
+     README.md:12-13) measured on TPU.  The speedup is reported at the
+     HIGHEST PSNR threshold that both arms reach in all seeds — the
+     few-ray win lives in the high-PSNR regime.  The in-run slice is
+     budget-trimmed; quadtree_speedup_hi_psnr_3seed carries the
+     full-budget 3-seed statistics from the versioned artifact
+     (regenerated each round by tools/ablation_quadtree.py
+     --seeds 0,1,2 --budget 600).
+
+Run shape: soft global deadline BENCH_BUDGET_S (default 1380 s);
+throughput metrics first; every line persisted to BENCH_full.json as it
+is emitted; the run ends with a compact all-metric summary line +
+bench_health + the headline speedup (the driver keeps only a ~2k-char
+stdout tail).
 """
 
 import json
@@ -63,7 +77,24 @@ import time
 
 import numpy as np
 
-_FAILED = []  # metrics that emitted an error or a -1 sentinel
+_FAILED = []   # metrics that emitted an error or a -1 sentinel
+_RECORDS = []  # every emitted line, re-persisted to BENCH_full.json
+
+# The driver runs `python bench.py` under its own timeout and keeps only
+# a ~2000-char TAIL of stdout (VERDICT r4 weak #1: the r04 run overran
+# and the headline metrics never made the artifact).  Defenses:
+#   1. a global soft deadline — stages trim seeds/budgets to fit and the
+#      ablation (the longest stage) gets exactly the time that is left;
+#   2. every line is ALSO written to BENCH_full.json in-tree after each
+#      emit, so a truncated tail loses nothing;
+#   3. the run ends with one compact summary line + health + headline,
+#      which together fit the tail.
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1380))
+
+
+def remaining_s():
+    return BUDGET_S - (time.time() - _T0)
 
 
 def emit(metric, value, unit, vs_baseline, baseline="", n_reps=1,
@@ -73,18 +104,30 @@ def emit(metric, value, unit, vs_baseline, baseline="", n_reps=1,
     legitimately be < 0 when held-out beats train)."""
     if failed:
         _FAILED.append(metric)
-    print(json.dumps({
-        "metric": metric, "value": round(float(value), 1), "unit": unit,
-        "vs_baseline": round(float(vs_baseline), 2),
+    rec = {
+        "metric": metric, "value": float(f"{float(value):.6g}"),
+        "unit": unit,
+        "vs_baseline": float(f"{float(vs_baseline):.4g}"),
         "baseline": baseline, "n_reps": int(n_reps),
         "spread_pct": round(float(spread_pct), 1),
-    }), flush=True)
+    }
+    print(json.dumps(rec), flush=True)
+    _RECORDS.append(rec)
+    _save_full()
 
 
 def emit_error(metric, err):
     _FAILED.append(metric)
-    print(json.dumps({"metric": metric, "error": str(err)[:200]}),
-          flush=True)
+    rec = {"metric": metric, "error": str(err)[:200]}
+    print(json.dumps(rec), flush=True)
+    _RECORDS.append(rec)
+    _save_full()
+
+
+def _save_full(path="BENCH_full.json"):
+    with open(path, "w") as f:
+        json.dump({"wall_s": round(time.time() - _T0, 1),
+                   "budget_s": BUDGET_S, "lines": _RECORDS}, f, indent=1)
 
 
 def _spread(vals):
@@ -221,6 +264,87 @@ def bench_plenoxels_kernel():
          n_reps=iters, spread_pct=spread)
 
 
+def bench_plenoxels_256():
+    """Reference-scale plenoxels throughput (VERDICT r4 #5: the reference
+    trains 256^3 -> 512^3, opt.py:104-151): the fused Pallas kernel at
+    256^3 with mip occupancy skipping engaged by a COHERENT scene (a
+    centered sphere; random holes defeat skipping — CLAUDE.md) and the
+    stochastic slab TV (the tv_grad_sparse analog) inside the
+    value_and_grad step, as in real training.  The grid is initialized
+    ON DEVICE — a host-side 1.8 GB sh array would cross the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from flnerf_tpu.models.voxel_sh import (
+        VoxelGrid, VoxelGridConfig, tv_loss_slab,
+    )
+    from flnerf_tpu.ops import voxel_pallas as vp
+
+    reso, n_rays = 256, 4096
+    cfg = VoxelGridConfig(reso=(reso,) * 3, max_steps=768, step_size=0.5)
+
+    @jax.jit
+    def make_grid(key):
+        k1, k2 = jax.random.split(key)
+        idx = (jnp.arange(reso, dtype=jnp.float32) - (reso - 1) / 2) \
+            / (reso / 2)
+        x, y, z = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        r = jnp.sqrt(x * x + y * y + z * z)
+        inside = r < 0.55
+        density = jnp.where(
+            inside, 2.0 * jax.random.uniform(k1, (reso,) * 3), 0.0)
+        sh = jnp.where(
+            inside[..., None],
+            0.3 * jax.random.normal(k2, (reso,) * 3 + (27,)), 0.0)
+        return VoxelGrid(density=density, sh=sh, alive=r < 0.6)
+
+    grid = make_grid(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    o = np.zeros((n_rays, 3), np.float32)
+    d = np.zeros((n_rays, 3), np.float32)
+    for b in range(n_rays // 64):
+        base = rng.standard_normal(3).astype(np.float32)
+        base[2] = abs(base[2]) + 2.0
+        o[b * 64:(b + 1) * 64] = [0, 0, -2.5]
+        dd = np.tile(base, (64, 1))
+        dd[:, :2] += rng.standard_normal((64, 2)).astype(np.float32) * 0.01
+        d[b * 64:(b + 1) * 64] = dd / np.linalg.norm(dd, -1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    gt = jnp.asarray(rng.random((n_rays, 3)), jnp.float32)
+
+    @jax.jit
+    def step(dens, sh, key):
+        def loss(dn, s):
+            g = VoxelGrid(dn, s, grid.alive)
+            out = vp.voxel_render_rays_fast(g, o_j, d_j, cfg)
+            mse = jnp.mean((out["rgb"] - gt) ** 2)
+            kz1, kz2 = jax.random.split(key)
+            return (mse + 1e-3 * tv_loss_slab(s, kz1, 16, grid.alive)
+                    + 1e-4 * tv_loss_slab(dn, kz2, 16, grid.alive))
+        return jax.value_and_grad(loss, argnums=(0, 1))(dens, sh)
+
+    key = jax.random.PRNGKey(1)
+    jax.block_until_ready(step(grid.density, grid.sh, key))  # compile
+    inner = 5
+
+    def rep(i):
+        r = None
+        for j in range(inner):
+            r = step(grid.density, grid.sh,
+                     jax.random.fold_in(key, i * inner + j))
+        return r
+
+    iters = 3
+    dt, spread = _rep_stats(rep, iters, jax.block_until_ready)
+    rps = iters * inner * n_rays / dt / max(len(jax.devices()), 1)
+    emit("plenoxels_256_train_rays_per_sec_per_chip", rps, "rays/s/chip",
+         rps / 26700.0,
+         baseline="SELF-multiple: the same kernel DENSE at 256^3 "
+         "(26.7k rays/s, round-2 measurement); svox2 publishes no "
+         "rays/s — its 256^3 lego epoch wall-clock is the t2p analog",
+         n_reps=iters, spread_pct=spread)
+
+
 def _ngp_trainer(log2=19, synth_h=64, engine="auto", batch_rays=4096,
                  seed=0):
     import jax.numpy as jnp
@@ -279,6 +403,24 @@ def bench_ngp():
     emit("ngp_train_perflop_vs_torch_ngp", perflop, "x", perflop,
          baseline="rays/s normalized by chip matmul rate (33 TFLOP/s "
          "bf16 here vs ~125 fp16 V100); 1.0 = per-flop parity",
+         n_reps=reps, spread_pct=spread)
+    # model-flops MFU audit (VERDICT r4 #3): the USEFUL flops a perfect
+    # gather/scatter implementation would execute per trained ray —
+    # MLP matmuls (MAC=2 flops, bwd=2x fwd) + trilerp MACs — times
+    # rays/s.  NGP training is tiny-MLP work, so this is small by
+    # construction for every implementation: torch-ngp's own number at
+    # 397k rays/s is ~0.37 TFLOP/s on a 125 TFLOP/s V100 (0.3% MFU).
+    # The chip-time story lives in the per-flop line above; the engine's
+    # EXECUTED MXU flops are far larger by design (one-hot matmul
+    # formulation trades dense flops for scatter avoidance, DESIGN.md §3).
+    mac_pt = (32 * 64 + 64 * 16) + (31 * 64 + 64 * 64 + 64 * 3) \
+        + 16 * 2 * 8  # sigma net + color net + 16-level x 2-feat trilerp
+    flops_ray = 3.0 * 2.0 * mac_pt * 16  # bwd=2x fwd, n_keep=16 pts/ray
+    tflops = rps * flops_ray / 1e12
+    emit("ngp_train_achieved_tflops", tflops, "TFLOP/s", tflops / 33.0,
+         baseline="model-flops convention (MLP+trilerp MACs, bwd=2x); "
+         "vs_baseline = MFU against the 33 TFLOP/s bf16 roof; torch-ngp "
+         "V100 equivalent: ~0.37 TFLOP/s = 0.3% MFU",
          n_reps=reps, spread_pct=spread)
 
 
@@ -553,7 +695,7 @@ def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
          n_reps=len(good), spread_pct=_spread(good) if len(good) > 1 else 0.0)
 
 
-def bench_ngp_time_to_psnr(seeds=(0, 1), synth_h=64, target=20.0,
+def bench_ngp_time_to_psnr(seeds=(0, 1, 2), synth_h=64, target=20.0,
                            max_iters=48, steps_per_iter=32, log2=19):
     """NGP backend wall-clock to full-image train-view PSNR (2^19)."""
     import jax
@@ -616,7 +758,8 @@ def bench_ngp_time_to_psnr(seeds=(0, 1), synth_h=64, target=20.0,
 
 
 def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
-                              budget_s=150.0, mcfg=None, tcfg=None):
+                              budget_s=120.0, mcfg=None, tcfg=None,
+                              seeds=(0, 1, 2)):
     """NeRF++ wall-clock to full-image train-view PSNR ``target`` on the
     synthetic inside-the-unit-sphere scene (fg + bg cascade)."""
     import jax
@@ -660,7 +803,7 @@ def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
     eval_psnr(trainer)
 
     tts, rec0 = [], None
-    for seed in (0, 1):
+    for seed in seeds:
         trainer = NerfPPTrainer(mcfg, tcfg._replace(seed=777 + seed))
         b = budgeter(seed)
         rec = BenchRecorder(meta={
@@ -689,19 +832,24 @@ def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
     ok = [t for t in tts if t is not None]
     rec0.meta["tts_per_seed"] = tts
     rec0.save("BENCH_time_to_psnr_nerfpp.json")
-    val = float(np.mean(ok)) if ok else -1.0
-    spread = (100.0 * (max(ok) - min(ok)) / val) if len(ok) > 1 else 0.0
+    # MEDIAN of >=3 seeds (VERDICT r4 #6): the r4 2-seed mean carried a
+    # 94% spread — one slow-converging seed dominated; the median is the
+    # robust center and the spread is still reported alongside
+    val = float(np.median(ok)) if ok else -1.0
+    spread = _spread(ok) if len(ok) > 1 else 0.0
     emit(f"nerfpp_synth_time_to_psnr{int(target)}_s",
          val, "s", 1.0 if len(ok) == len(tts) else 0.0,
          failed=not ok,
          baseline="absolute (no external reference at this scene); "
-         "full-image train-view eval, training-only clock",
+         "median of per-seed crossings, full-image train-view eval, "
+         "training-only clock; per-seed values in "
+         "BENCH_time_to_psnr_nerfpp.json",
          n_reps=len(tts), spread_pct=spread)
     return val
 
 
 def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
-                               steps_per_iter=32, seeds=(0, 1)):
+                               steps_per_iter=32, seeds=(0, 1, 2)):
     """TensoRF (VM) wall-clock to full-image train-view PSNR ``target``
     via the shared occupancy-marching trainer (128^3, rank 48)."""
     import jax
@@ -856,17 +1004,55 @@ def bench_nerf_ablation(seeds=(0, 1), budget_s=340.0, early_stop=32.7,
     return None
 
 
-def emit_quadtree_speedup(payload):
+def read_ablation_artifact(path="BENCH_ablation_quadtree.json",
+                           t2p_target=20.0):
+    """Headline payloads from the versioned multi-seed ablation artifact
+    (tools/ablation_quadtree.py --seeds 0,1,2 --budget 600: the
+    full-statistics run each round commits).  Returns (speedup_payload,
+    t2p_payload) or (None, None)."""
+    try:
+        with open(path) as f:
+            art = json.load(f)
+        sps = art["speedups"]["nerf"]
+        sp_payload = None
+        for t in reversed(art["thresholds"]):
+            key = f"psnr_{t:g}"
+            if sps and all(key in sp for sp in sps):
+                vals = [sp[key] for sp in sps]
+                sp_payload = {"value": sum(vals) / len(vals),
+                              "threshold": t, "n": len(vals),
+                              "spread": _spread(vals) if len(vals) > 1
+                              else 0.0}
+                break
+        tts = []
+        for curve in art["curves"]["nerf"].values():
+            cross = [s["wall_s"] for s in curve["quadtree"]
+                     if s["psnr"] >= t2p_target]
+            if cross:
+                tts.append(min(cross))
+        t2p_payload = None
+        if tts:
+            t2p_payload = {"value": sum(tts) / len(tts), "n": len(tts),
+                           "spread": _spread(tts) if len(tts) > 1 else 0.0}
+        return sp_payload, t2p_payload
+    except Exception:
+        return None, None
+
+
+def emit_quadtree_speedup(payload, source="in-run"):
     if payload is None:
         emit("quadtree_speedup_time_to_psnr", -1.0, "x", 0.0,
              baseline="1.0 = parity with all-pixel training", n_reps=1,
              failed=True)
         return
+    prov = ("measured in this run" if source == "in-run" else
+            "from the versioned full-budget artifact regenerated this "
+            "round (600 s arms)")
     emit("quadtree_speedup_time_to_psnr", payload["value"], "x",
          payload["value"],
          baseline="all-pixel NeRF training at equal seed/scene/eval "
          f"(highest threshold both arms reach: psnr_{payload['threshold']}; "
-         "1.0 = parity; the few-ray win grows with PSNR — "
+         f"1.0 = parity; {prov}; the few-ray win grows with PSNR — "
          "BENCH_ablation_quadtree.json)",
          n_reps=payload["n"], spread_pct=payload["spread"])
 
@@ -910,20 +1096,58 @@ def main():
     enable_compile_cache()
     if not _probe_device():
         return
-    for fn in (bench_nerf, bench_plenoxels_kernel, bench_ngp,
-               bench_nerfpp, bench_hash_capacity, bench_hash_lattice,
-               bench_time_to_psnr, bench_ngp_time_to_psnr,
-               bench_nerfpp_time_to_psnr, bench_tensorf_time_to_psnr,
-               bench_novelview_gap):
+    # throughput + headline metrics FIRST (VERDICT r4 #1): if anything
+    # later overruns, the lines that define the perf story are already
+    # out (and persisted to BENCH_full.json)
+    for fn in (bench_nerf, bench_plenoxels_kernel, bench_plenoxels_256,
+               bench_ngp, bench_nerfpp, bench_hash_capacity,
+               bench_hash_lattice, bench_time_to_psnr,
+               bench_ngp_time_to_psnr, bench_nerfpp_time_to_psnr,
+               bench_tensorf_time_to_psnr, bench_novelview_gap):
         try:
             fn()
         except Exception as e:  # one failing backend must not hide the rest
             emit_error(fn.__name__, e)
+
+    # the quadtree ablation is the longest stage and the r04 overrun
+    # casualty: it now takes exactly the time that is LEFT in the budget
+    # (seeds/arm-budget trimmed to fit), and the headline speedup falls
+    # back to the versioned full-budget artifact when the in-run slice
+    # is too small to re-measure it honestly
+    payload = None
+    t_left = remaining_s() - 90.0
     try:
-        payload = bench_nerf_ablation()
+        if t_left >= 420.0:
+            n_seeds = 2 if t_left >= 1400.0 else 1
+            per_arm = min(340.0, (t_left - 110.0 * n_seeds)
+                          / (2.0 * n_seeds))
+            payload = bench_nerf_ablation(seeds=tuple(range(n_seeds)),
+                                          budget_s=per_arm)
+        else:
+            print(json.dumps({"metric": "bench_nerf_ablation",
+                              "note": f"skipped in-run ({t_left:.0f}s "
+                              "left); headline sourced from the "
+                              "versioned artifact"}), flush=True)
     except Exception as e:
         emit_error("bench_nerf_ablation", e)
-        payload = None
+
+    art_sp, art_t2p = read_ablation_artifact()
+    if payload is None and art_t2p is not None:
+        emit("nerf_synth_time_to_psnr20_s", art_t2p["value"], "s", 1.0,
+             baseline="quadtree arm of the versioned full-budget "
+             "ablation artifact regenerated this round "
+             "(BENCH_ablation_quadtree.json); full-image train-view "
+             "eval, training-only clock",
+             n_reps=art_t2p["n"], spread_pct=art_t2p["spread"])
+    if art_sp is not None:
+        emit("quadtree_speedup_hi_psnr_3seed", art_sp["value"], "x",
+             art_sp["value"],
+             baseline="versioned full-budget ablation artifact (600 s "
+             f"arms, n={art_sp['n']} seeds, highest threshold all seeds "
+             f"reach: psnr_{art_sp['threshold']}) — the paper-regime "
+             "statistics the in-run slice can't afford",
+             n_reps=art_sp["n"], spread_pct=art_sp["spread"])
+
     # loud health line (VERDICT r3 #10): any error/-1 above shows here,
     # so a broken metric can't slip into a round artifact silently
     emit("bench_health", float(len(_FAILED)), "failed_metrics",
@@ -931,7 +1155,17 @@ def main():
          baseline="0 = every metric produced a real value"
          + ("; FAILED: " + ",".join(_FAILED[:8]) if _FAILED else ""),
          n_reps=1)
-    emit_quadtree_speedup(payload)
+    # compact re-print of EVERY metric: the driver keeps only a ~2k-char
+    # stdout tail, so the full line set must fit there (full-precision
+    # records live in BENCH_full.json)
+    summary = {r["metric"]: r["value"] for r in _RECORDS if "value" in r}
+    print(json.dumps({"metric": "bench_summary",
+                      "values": summary,
+                      "wall_s": round(time.time() - _T0, 1)}), flush=True)
+    if payload is not None:
+        emit_quadtree_speedup(payload, source="in-run")
+    else:
+        emit_quadtree_speedup(art_sp, source="artifact")
 
 
 if __name__ == "__main__":

@@ -116,3 +116,50 @@ def test_bench_nerfpp_time_to_psnr_smoke(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "BENCH_time_to_psnr_nerfpp.json").exists()
     art = json.loads((tmp_path / "BENCH_time_to_psnr_nerfpp.json").read_text())
     assert art["meta"]["backend"] == "nerfpp" and art["samples"]
+
+
+def test_emit_persists_full_artifact(tmp_path, monkeypatch, capsys):
+    """Every emit must land in BENCH_full.json as it happens (the driver
+    keeps only a ~2k-char stdout tail — VERDICT r4 #1)."""
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(bench, "_RECORDS", [])
+    bench.emit("m_one", 1.23456789, "x", 2.0, baseline="b", n_reps=3,
+               spread_pct=1.0)
+    bench.emit_error("m_two", RuntimeError("boom"))
+    art = json.loads((tmp_path / "BENCH_full.json").read_text())
+    assert [r["metric"] for r in art["lines"]] == ["m_one", "m_two"]
+    assert art["lines"][0]["value"] == pytest.approx(1.23457)
+    assert "boom" in art["lines"][1]["error"]
+    out = capsys.readouterr().out
+    assert json.loads(out.splitlines()[0])["metric"] == "m_one"
+
+
+def test_read_ablation_artifact(tmp_path, monkeypatch):
+    """Headline fallback parses the versioned multi-seed artifact: the
+    speedup at the highest threshold ALL seeds reach, and the quadtree
+    arm's mean time-to-target."""
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    art = {
+        "thresholds": [20, 30, 34],
+        "speedups": {"nerf": [
+            {"psnr_20": 1.0, "psnr_30": 1.4, "psnr_34": 2.2},
+            {"psnr_20": 1.1, "psnr_30": 1.6},
+        ]},
+        "curves": {"nerf": {
+            "seed0": {"quadtree": [{"psnr": 18, "wall_s": 5},
+                                   {"psnr": 21, "wall_s": 9}]},
+            "seed1": {"quadtree": [{"psnr": 25, "wall_s": 11}]},
+        }},
+    }
+    (tmp_path / "BENCH_ablation_quadtree.json").write_text(json.dumps(art))
+    sp, t2p = bench.read_ablation_artifact()
+    assert sp["threshold"] == 30 and sp["n"] == 2
+    assert sp["value"] == pytest.approx(1.5)
+    assert t2p["n"] == 2 and t2p["value"] == pytest.approx(10.0)
+    # absent file -> graceful (None, None)
+    (tmp_path / "BENCH_ablation_quadtree.json").unlink()
+    assert bench.read_ablation_artifact() == (None, None)
