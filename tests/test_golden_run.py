@@ -14,35 +14,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_blender_fixture(basedir, H=24, n_train=3, n_val=1, n_test=1):
-    """Write the synthetic scene in the nerf_synthetic blender layout
-    (transforms_{split}.json + {split}/*.png, load_blender.py:37-91)."""
-    import imageio.v2 as imageio
+    """Thin wrapper over the product fixture writer (data/synthetic.py
+    write_blender_fixture — the same code the executing fixture_* golden
+    rows use)."""
+    from flnerf_tpu.data.synthetic import write_blender_fixture
 
-    from flnerf_tpu.data.synthetic import render_gt
-    from flnerf_tpu.rays.camera import get_rays_np, intrinsics_matrix, \
-        pose_spherical
-
-    focal = 0.9 * H
-    camera_angle_x = 2.0 * np.arctan(0.5 * H / focal)
-    K = intrinsics_matrix(H, H, focal)
-    n = n_train + n_val + n_test
-    thetas = np.linspace(-180, 180, n, endpoint=False)
-    splits = (["train"] * n_train + ["val"] * n_val + ["test"] * n_test)
-    metas = {s: {"camera_angle_x": float(camera_angle_x), "frames": []}
-             for s in ("train", "val", "test")}
-    for i, (th, s) in enumerate(zip(thetas, splits)):
-        pose = pose_spherical(th, -25.0, 3.5)
-        ro, rd = get_rays_np(H, H, K, pose[:3, :4])
-        img = (np.clip(render_gt(ro, rd), 0, 1) * 255).astype(np.uint8)
-        os.makedirs(os.path.join(basedir, s), exist_ok=True)
-        rel = f"./{s}/r_{i}"
-        imageio.imwrite(os.path.join(basedir, f"{rel}.png"), img)
-        metas[s]["frames"].append({
-            "file_path": rel,
-            "transform_matrix": np.asarray(pose, np.float64).tolist()})
-    for s, meta in metas.items():
-        with open(os.path.join(basedir, f"transforms_{s}.json"), "w") as f:
-            json.dump(meta, f)
+    write_blender_fixture(basedir, H=H, n_train=n_train, n_val=n_val,
+                          n_test=n_test)
 
 
 def test_gates_report_layout(tmp_path, monkeypatch):
@@ -76,3 +54,20 @@ def test_golden_pipeline_runs_on_fixture(tmp_path, monkeypatch):
     assert "psnr" in res, res
     assert np.isfinite(res["psnr"])
     assert "pass" in res  # band comparison ran (64 steps won't pass it)
+
+
+def test_nerfpp_fixture_roundtrip(tmp_path):
+    """write_nerfpp_fixture emits the exact {split}/{intrinsics,pose,rgb}
+    layout load_nerfpp_split reads; images survive the png round trip."""
+    from flnerf_tpu.data.nerfpp_dataset import (
+        load_nerfpp_split, make_synthetic_nerfpp_scene, write_nerfpp_fixture,
+    )
+
+    scene = tmp_path / "npp" / "fixture"
+    write_nerfpp_fixture(str(scene), H=24, n_train=2, n_test=1)
+    d = load_nerfpp_split(str(tmp_path / "npp"), "fixture", "train")
+    assert d["images"].shape == (2, 24, 24, 3)
+    ref, _ = make_synthetic_nerfpp_scene(n_train=2, n_test=1, H=24, W=24)
+    np.testing.assert_allclose(d["images"], np.clip(ref["images"], 0, 1),
+                               atol=2.0 / 255)
+    np.testing.assert_allclose(d["poses"], ref["poses"], atol=1e-5)

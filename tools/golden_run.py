@@ -21,8 +21,17 @@ drift):
   * truck / nerfpp  — nerf++ paper T&T Truck PSNR 22.77 (paper tbl; the
     reference repo publishes only wall-clock).  Band [21.5, inf).
 
+The fixture_* rows (VERDICT r4 #7) EXECUTE unconditionally: they
+generate the procedural scene in the real dataset layouts (blender /
+nerf++ splits) and drive the same CLIs end-to-end — loader, trainer,
+test-split eval — with a PSNR band pinned to the measured-at-commit
+value minus margin.  So GOLDEN_runs.json always carries at least one
+non-skipped, banded row per backend, and the real-data rows stay gated
+on their datasets.
+
 Usage:
-  python tools/golden_run.py                 # run every dataset present
+  python tools/golden_run.py                 # gated rows + fixture rows
+  python tools/golden_run.py --scene fixture_ngp
   python tools/golden_run.py --scene lego_ngp --steps 30000
 Writes GOLDEN_runs.json.
 """
@@ -37,6 +46,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LEGO_DIR = "data/nerf_synthetic/lego"
 TAT_DIR = "data/tanks_and_temples/tat_training_Truck"
+FIX_DIR = "data/fixture_blender96"        # generated on demand (gitignored)
+FIX_NPP_DIR = "data/fixture_nerfpp"       # parent of scene dir "fixture"
+
+_FIX_SRC = ("procedural blender-layout fixture (96px, 12 train views, "
+            "data/synthetic.py write_blender_fixture); band = "
+            "measured-at-commit minus ~2 dB pipeline margin — it pins "
+            "the REAL CLI end-to-end, not paper parity")
 
 EXPECTED = {
     "lego_nerf": {"min_psnr": 30.5, "published": 32.5,
@@ -49,7 +65,34 @@ EXPECTED = {
                        "source": "plenoxels paper table 1"},
     "truck_nerfpp": {"min_psnr": 21.5, "published": 22.77,
                      "source": "nerf++ paper (T&T Truck)"},
+    # executing fixture rows (VERDICT r4 #7): same CLIs, generated data
+    "fixture_ngp": {"min_psnr": 26.0, "published": None,
+                    "source": _FIX_SRC},
+    "fixture_tensorf": {"min_psnr": 24.0, "published": None,
+                        "source": _FIX_SRC},
+    "fixture_nerf": {"min_psnr": 22.0, "published": None,
+                     "source": _FIX_SRC},
+    "fixture_plenoxels": {"min_psnr": 26.0, "published": None,
+                          "source": _FIX_SRC},
+    "fixture_nerfpp": {"min_psnr": 22.0, "published": None,
+                       "source": _FIX_SRC + "; nerf++ split layout via "
+                       "data/nerfpp_dataset.py write_nerfpp_fixture"},
 }
+
+
+def _ensure_fixture():
+    from flnerf_tpu.data.synthetic import write_blender_fixture
+    if not os.path.isfile(os.path.join(FIX_DIR, "transforms_train.json")):
+        write_blender_fixture(FIX_DIR, H=96, n_train=12, n_val=2, n_test=2)
+    return FIX_DIR
+
+
+def _ensure_npp_fixture():
+    from flnerf_tpu.data.nerfpp_dataset import write_nerfpp_fixture
+    scene = os.path.join(FIX_NPP_DIR, "fixture")
+    if not os.path.isdir(os.path.join(scene, "train", "rgb")):
+        write_nerfpp_fixture(scene, H=96, n_train=12, n_test=2)
+    return FIX_NPP_DIR
 
 
 def _gate(path, layout):
@@ -114,12 +157,61 @@ def run_truck_nerfpp(_steps):
     return _psnr_of(main(["--config", "configs/tat_training_truck.txt"]))
 
 
+def run_fixture_ngp(steps):
+    from flnerf_tpu.cli.main_nerf import main
+    return _psnr_of(main([
+        _ensure_fixture(), "-O", "--workspace", "logs/golden_fix_ngp",
+        "--iters", str(min(steps, 1536)), "--bound", "1.5",
+        "--scale", "0.8", "--dt_gamma", "0"]))
+
+
+def run_fixture_tensorf(steps):
+    from flnerf_tpu.cli.main_tensorf import main
+    return _psnr_of(main([
+        _ensure_fixture(), "-O", "--workspace", "logs/golden_fix_tensorf",
+        "--iters", str(min(steps, 1536)), "--bound", "1.5",
+        "--scale", "0.8", "--dt_gamma", "0"]))
+
+
+def run_fixture_nerf(_steps):
+    from flnerf_tpu.cli.run_nerf import main
+    return _psnr_of(main([
+        "--expname", "golden_fix_nerf", "--basedir", "logs",
+        "--datadir", _ensure_fixture(), "--dataset_type", "blender",
+        "--white_bkgd", "--use_viewdirs", "--N_importance", "128",
+        "--N_rand", "1920", "--precrop_iters", "500",
+        "--n_epoch", "8", "--init_level", "2", "--subdivide_every", "3",
+        "--testskip", "1", "--no_reload"]))
+
+
+def run_fixture_plenoxels(_steps):
+    from flnerf_tpu.cli.opt import main
+    return _psnr_of(main([
+        _ensure_fixture(), "-t", "logs/golden_fix_plx",
+        "--reso", "[[128, 128, 128]]", "--n_epochs", "4",
+        "--lr_sigma_delay_steps", "0", "--tune_nosave"]))
+
+
+def run_fixture_nerfpp(_steps):
+    from flnerf_tpu.cli.ddp_train_nerf import main
+    return _psnr_of(main([
+        "--datadir", _ensure_npp_fixture(), "--scene", "fixture",
+        "--expname", "golden_fix_npp", "--basedir", "logs",
+        "--use_viewdirs", "--n_epoch", "3", "--testskip", "1",
+        "--no_reload"]))
+
+
 RUNS = {
     "lego_nerf": run_lego_nerf,
     "lego_ngp": run_lego_ngp,
     "lego_tensorf": run_lego_tensorf,
     "lego_plenoxels": run_lego_plenoxels,
     "truck_nerfpp": run_truck_nerfpp,
+    "fixture_ngp": run_fixture_ngp,
+    "fixture_tensorf": run_fixture_tensorf,
+    "fixture_nerf": run_fixture_nerf,
+    "fixture_plenoxels": run_fixture_plenoxels,
+    "fixture_nerfpp": run_fixture_nerfpp,
 }
 
 
