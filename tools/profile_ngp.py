@@ -247,6 +247,141 @@ def p_mlp(n_pts=65536):
     print(f"mlp_fwdbwd_{n_pts}pts: {ms:.2f} ms", flush=True)
 
 
+def p_train_step(log2=19, n_rays=4096, engine="auto", ema=True):
+    """The trainer's EXACT one_step (render fwd+bwd + adam + LambdaLR +
+    EMA shadow) as a scan slope — isolates the optimizer/EMA glue when
+    diffed against p_step (render fwd+bwd only)."""
+    import optax
+
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, init_occupancy, ngp_render_rays, with_density,
+    )
+
+    cfg, (init_fn, density_fn, rgb_fn) = _field(log2, engine)
+    rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
+                           bound=1.5)
+    params = init_fn(jax.random.PRNGKey(0))
+    occ = init_occupancy(rcfg)
+    occ = with_density(
+        occ, jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape),
+        rcfg)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.2
+    d[:, 2] -= 1.0
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    gt = jnp.asarray(rng.random((n_rays, 3)), np.float32)
+
+    tx = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+    opt_state = tx.init(params)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema else None
+
+    def step(carry, i):
+        params, opt_state, ema_params = carry
+
+        def loss_fn(p):
+            out = ngp_render_rays(jax.random.PRNGKey(0), p, density_fn,
+                                  rgb_fn, occ, o, d, rcfg, perturb=False)
+            per_ray = jnp.mean((out["rgb"] - gt) ** 2, -1)
+            return jnp.mean(per_ray), per_ray
+
+        (loss, per_ray), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        lr = 1e-2 * 0.1 ** jnp.minimum(
+            i.astype(jnp.float32) / 30000.0, 1.0)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(params, updates)
+        if ema_params is not None:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: 0.95 * e + 0.05 * p, ema_params, new_params)
+        return (new_params, new_opt, ema_params)
+
+    ms = slope_ms(scan_chain(step), (params, opt_state, ema_params))
+    print(f"train_step_log2={log2}_{n_rays}rays_{engine}_ema={ema}: "
+          f"{ms:.2f} ms", flush=True)
+
+
+def p_march_onehot(n_rays=4096):
+    """March prep with the rank-arithmetic (onehot) compaction instead of
+    the stable argsort."""
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, init_occupancy, ngp_render_rays, with_density,
+    )
+    # time the full render fwd (no bwd) under each compaction mode: the
+    # compaction choice also changes the backward graph shape
+    for mode in ("argsort", "onehot"):
+        rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
+                               bound=1.5, compaction=mode)
+        _p_march_variant(rcfg, n_rays, mode)
+
+
+def _p_march_variant(rcfg, n_rays, tag):
+    from flnerf_tpu.render.ngp import (
+        init_occupancy, near_far_from_aabb, occupancy_lookup, with_density,
+    )
+
+    occ = init_occupancy(rcfg)
+    occ = with_density(
+        occ, jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape),
+        rcfg)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32)
+    d = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.2
+    d[:, 2] -= 1.0
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    S, K = rcfg.n_candidates, rcfg.n_keep
+
+    def step(acc, i):
+        near, far, hit = near_far_from_aabb(o, d, rcfg.bound, rcfg.min_near)
+        t = jnp.linspace(0.0, 1.0, S)
+        z = near[:, None] + (far - near)[:, None] * t[None, :] + 1e-7 * i
+        xyz = jnp.clip(o[:, None, :] + d[:, None, :] * z[..., None],
+                       -rcfg.bound, rcfg.bound)
+        m = occupancy_lookup(occ, xyz, rcfg) & hit[:, None]
+        if rcfg.compaction == "onehot":
+            mf = m.astype(jnp.float32)
+            c_occ = jnp.cumsum(mf, axis=-1)
+            n_occ = c_occ[:, -1:]
+            c_un = jnp.cumsum(1.0 - mf, axis=-1)
+            dest = jnp.where(m, c_occ - 1.0, n_occ + c_un - 1.0)
+            kidx = jnp.arange(K, dtype=jnp.float32)
+            sel = (dest[:, None, :] == kidx[None, :, None])
+            zk = jnp.sum(jnp.where(sel, z[:, None, :], 0.0), -1)
+        else:
+            order = jnp.argsort(jnp.logical_not(m), axis=-1,
+                                stable=True)[:, :K]
+            zk = jnp.take_along_axis(z, order, axis=-1)
+        return acc + jnp.sum(zk)
+
+    ms = slope_ms(scan_chain(step), jnp.float32(0))
+    print(f"march_prep_{tag}_{n_rays}rays: {ms:.2f} ms", flush=True)
+
+
+def p_occ_gather(n_rays=4096, S=128):
+    """The occupancy bitfield gather ALONE (the march prep's dominant
+    cost per round-3 notes): 524k word-gathers from the 64K-word table."""
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, init_occupancy, occupancy_lookup, with_density,
+    )
+
+    rcfg = NGPRenderConfig(n_candidates=S, n_keep=16, grid_size=128,
+                           bound=1.5)
+    occ = init_occupancy(rcfg)
+    occ = with_density(
+        occ, jax.random.uniform(jax.random.PRNGKey(2), occ.density.shape),
+        rcfg)
+    xyz = jax.random.uniform(jax.random.PRNGKey(3), (n_rays, S, 3),
+                             minval=-1.4, maxval=1.4)
+
+    def step(acc, i):
+        m = occupancy_lookup(occ, xyz + 1e-6 * i, rcfg)
+        return acc + jnp.sum(m.astype(jnp.int32))
+
+    ms = slope_ms(scan_chain(step), jnp.int32(0))
+    print(f"occ_gather_{n_rays}x{S}: {ms:.2f} ms", flush=True)
+
+
 ALL = {
     "sort17": lambda: p_sort(14, 17),
     "sort15": lambda: p_sort(14, 15),
@@ -264,6 +399,11 @@ ALL = {
     "march": lambda: p_march(),
     "march8k": lambda: p_march(8192),
     "mlp": lambda: p_mlp(),
+    "train19": lambda: p_train_step(19, 4096, engine="lattice"),
+    "train19_noema": lambda: p_train_step(19, 4096, engine="lattice",
+                                          ema=False),
+    "march_ab": lambda: p_march_onehot(),
+    "occ_gather": lambda: p_occ_gather(),
 }
 
 
