@@ -146,8 +146,16 @@ def test_read_ablation_artifact(tmp_path, monkeypatch):
     art = {
         "thresholds": [20, 30, 34],
         "speedups": {"nerf": [
-            {"psnr_20": 1.0, "psnr_30": 1.4, "psnr_34": 2.2},
-            {"psnr_20": 1.1, "psnr_30": 1.6},
+            {"psnr_20": 1.0, "psnr_30": 1.4, "psnr_34": 2.2,
+             "at_allpixel_final": {"allpixel_end_psnr": 34.6,
+                                   "allpixel_wall_s": 300.0,
+                                   "quadtree_t_s": 150.0,
+                                   "speedup": 2.0}},
+            {"psnr_20": 1.1, "psnr_30": 1.6,
+             "at_allpixel_final": {"allpixel_end_psnr": 34.9,
+                                   "allpixel_wall_s": 330.0,
+                                   "quadtree_t_s": None,
+                                   "speedup": None}},
         ]},
         "curves": {"nerf": {
             "seed0": {"quadtree": [{"psnr": 18, "wall_s": 5},
@@ -156,10 +164,12 @@ def test_read_ablation_artifact(tmp_path, monkeypatch):
         }},
     }
     (tmp_path / "BENCH_ablation_quadtree.json").write_text(json.dumps(art))
-    sp, t2p = bench.read_ablation_artifact()
+    sp, t2p, eq = bench.read_ablation_artifact()
     assert sp["threshold"] == 30 and sp["n"] == 2
     assert sp["value"] == pytest.approx(1.5)
     assert t2p["n"] == 2 and t2p["value"] == pytest.approx(10.0)
-    # absent file -> graceful (None, None)
+    # the None-speedup seed is dropped from the equal-quality stat
+    assert eq["n"] == 1 and eq["value"] == pytest.approx(2.0)
+    # absent file -> graceful Nones
     (tmp_path / "BENCH_ablation_quadtree.json").unlink()
-    assert bench.read_ablation_artifact() == (None, None)
+    assert bench.read_ablation_artifact() == (None, None, None)
