@@ -44,7 +44,9 @@ def density_grid_from_nerf(params_coarse, params_fine, query_fn, bound, reso, ch
 def main(argv=None):
     from flnerf_tpu.core.checkpoint import load_nerf_checkpoint
     from flnerf_tpu.models.nerf_mlp import make_nerf_field
-    from flnerf_tpu.ops.marching import marching_tetrahedra, save_obj, save_ply
+    from flnerf_tpu.ops.marching import (marching_cubes,
+                                          marching_tetrahedra, save_obj,
+                                          save_ply)
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", type=str, required=True, help=".tar or .npz checkpoint")
@@ -52,6 +54,10 @@ def main(argv=None):
     parser.add_argument("--bound", type=float, default=1.2)
     parser.add_argument("--reso", type=int, default=192)
     parser.add_argument("--sigma_thresh", type=float, default=25.0)
+    # the reference extracts with PyMCubes marching cubes
+    # (nerf-ours/extract_mesh.py); tetrahedra kept as the denser variant
+    parser.add_argument("--algo", choices=["cubes", "tetrahedra"],
+                        default="cubes")
     parser.add_argument("--multires", type=int, default=10)
     parser.add_argument("--multires_views", type=int, default=4)
     parser.add_argument("--netdepth", type=int, default=8)
@@ -66,7 +72,9 @@ def main(argv=None):
         field = np.where(np.asarray(grid.alive), np.asarray(grid.density), 0.0)
         spacing = tuple(2 * r / (n - 1) for r, n in zip(gcfg.radius, gcfg.reso))
         origin = tuple(-r for r in gcfg.radius)
-        verts, tris = marching_tetrahedra(
+        march = (marching_cubes if args.algo == "cubes"
+                 else marching_tetrahedra)
+        verts, tris = march(
             field, iso=args.sigma_thresh, origin=origin, spacing=spacing
         )
     else:
@@ -87,7 +95,9 @@ def main(argv=None):
 
         field, g = density_grid_from_nerf(pc, pf, sigma_query, args.bound, args.reso)
         spacing = (g[1] - g[0],) * 3
-        verts, tris = marching_tetrahedra(
+        march = (marching_cubes if args.algo == "cubes"
+                 else marching_tetrahedra)
+        verts, tris = march(
             field, iso=args.sigma_thresh, origin=(-args.bound,) * 3, spacing=spacing
         )
 

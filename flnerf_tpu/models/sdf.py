@@ -174,9 +174,12 @@ class SDFTrainer:
             losses.append(float(loss))
         return losses
 
-    def extract_mesh(self, reso: int = 128, chunk: int = 1 << 16):
-        """Marching-tetrahedra surface of the learned SDF (save_mesh analog)."""
-        from flnerf_tpu.ops.marching import marching_tetrahedra
+    def extract_mesh(self, reso: int = 128, chunk: int = 1 << 16,
+                     algo: str = "cubes"):
+        """Iso-surface of the learned SDF (save_mesh analog,
+        instant-sdf's mcubes path): marching CUBES by default like the
+        reference, marching tetrahedra as the denser variant."""
+        from flnerf_tpu.ops.marching import marching_cubes, marching_tetrahedra
 
         b = self.cfg.bound
         g = np.linspace(-b, b, reso, dtype=np.float32)
@@ -193,4 +196,5 @@ class SDFTrainer:
         field = np.concatenate(out)[:n].reshape(reso, reso, reso)
         # inside = sdf < 0 -> pass -sdf so "inside" is positive
         spacing = (g[1] - g[0],) * 3
-        return marching_tetrahedra(-field, iso=0.0, origin=(-b,) * 3, spacing=spacing)
+        march = marching_cubes if algo == "cubes" else marching_tetrahedra
+        return march(-field, iso=0.0, origin=(-b,) * 3, spacing=spacing)

@@ -356,3 +356,86 @@ def test_marching_tets_consistent_outward_winding():
     true_vol = 4.0 / 3.0 * np.pi * r ** 3
     assert signed_vol > 0.9 * true_vol, (signed_vol, true_vol)
     assert signed_vol < 1.1 * true_vol, (signed_vol, true_vol)
+
+
+def test_marching_cubes_sphere():
+    """Classic MC (the reference's PyMCubes algorithm): welded vertices,
+    watertight surface, sub-voxel radius accuracy, outward winding."""
+    from flnerf_tpu.ops.marching import marching_cubes
+
+    n = 40
+    g = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    field = 0.7 - np.sqrt(x * x + y * y + z * z)
+    v, t = marching_cubes(field, 0.0, origin=(-1, -1, -1),
+                          spacing=(2 / (n - 1),) * 3)
+    r = np.linalg.norm(v, axis=1)
+    assert abs(r.mean() - 0.7) < 2e-3
+    assert np.abs(r - 0.7).max() < 2e-2
+    # watertight: every undirected edge shared by exactly 2 triangles
+    from collections import Counter
+    edges = Counter()
+    for a, b, c in t:
+        for e in ((a, b), (b, c), (c, a)):
+            edges[tuple(sorted(e))] += 1
+    assert set(edges.values()) == {2}
+    # outward winding: signed volume ~ 4/3 pi r^3
+    vol = np.sum(np.einsum("ij,ij->i", v[t[:, 0]],
+                           np.cross(v[t[:, 1]], v[t[:, 2]]))) / 6.0
+    assert abs(vol - 4 / 3 * np.pi * 0.7 ** 3) < 0.02
+    # empty / full fields -> empty mesh
+    for f0 in (-1.0, 1.0):
+        v0, t0 = marching_cubes(np.zeros((8, 8, 8), np.float32) + f0)
+        assert len(v0) == 0 and len(t0) == 0
+
+
+def test_marching_cubes_all_cases_closed():
+    """Random fields hit every table case incl. the ambiguous ones: all
+    open edges must lie on the volume boundary (interior is closed), and
+    edge use counts stay even (no holes)."""
+    from collections import Counter
+
+    from flnerf_tpu.ops.marching import marching_cubes
+
+    X, Y, Z = 14, 15, 13
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        f = rng.standard_normal((X, Y, Z)).astype(np.float32)
+        v, t = marching_cubes(f, 0.0)
+        edges = Counter()
+        for a, b, c in t:
+            for e in ((a, b), (b, c), (c, a)):
+                edges[tuple(sorted(e))] += 1
+        eps = 1e-6
+
+        def on_boundary(vid):
+            p = v[vid]
+            return (p[0] < eps or p[0] > X - 1 - eps or p[1] < eps
+                    or p[1] > Y - 1 - eps or p[2] < eps
+                    or p[2] > Z - 1 - eps)
+
+        for (a, b), cnt in edges.items():
+            if cnt % 2 == 1:
+                assert on_boundary(a) and on_boundary(b), (a, b, cnt)
+
+
+def test_marching_cubes_matches_tetrahedra_volume():
+    """Same enclosed volume as the marching-tetrahedra path (<0.5%) with
+    far fewer primitives (the welded-vertex economy of real MC)."""
+    from flnerf_tpu.ops.marching import marching_cubes, marching_tetrahedra
+
+    n = 36
+    g = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    f = (0.55 - np.sqrt((x - 0.1) ** 2 + 1.3 * y ** 2
+                        + 0.8 * (z + 0.05) ** 2)
+         + 0.08 * np.sin(5 * x) * np.sin(4 * y) * np.sin(6 * z))
+
+    def vol(v, t):
+        return np.sum(np.einsum("ij,ij->i", v[t[:, 0]],
+                                np.cross(v[t[:, 1]], v[t[:, 2]]))) / 6.0
+
+    vc, tc = marching_cubes(f.astype(np.float32), 0.0)
+    vt, tt = marching_tetrahedra(f.astype(np.float32), 0.0)
+    assert abs(vol(vc, tc) - vol(vt, tt)) / abs(vol(vt, tt)) < 5e-3
+    assert len(tc) < 0.5 * len(tt) and len(vc) < 0.2 * len(vt)
