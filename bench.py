@@ -264,7 +264,8 @@ def bench_plenoxels_kernel():
          n_reps=iters, spread_pct=spread)
 
 
-def bench_plenoxels_256():
+def bench_plenoxels_256(reso=256, n_rays=4096, max_steps=768, inner=5,
+                        iters=3):
     """Reference-scale plenoxels throughput (VERDICT r4 #5: the reference
     trains 256^3 -> 512^3, opt.py:104-151): the fused Pallas kernel at
     256^3 with mip occupancy skipping engaged by a COHERENT scene (a
@@ -280,12 +281,12 @@ def bench_plenoxels_256():
     )
     from flnerf_tpu.ops import voxel_pallas as vp
 
-    reso, n_rays = 256, 4096
-    cfg = VoxelGridConfig(reso=(reso,) * 3, max_steps=768, step_size=0.5)
+    cfg = VoxelGridConfig(reso=(reso,) * 3, max_steps=max_steps,
+                          step_size=0.5)
 
     @jax.jit
     def make_grid(key):
-        k1, k2 = jax.random.split(key)
+        k1, k2 = jnp.asarray(jax.random.split(key))
         idx = (jnp.arange(reso, dtype=jnp.float32) - (reso - 1) / 2) \
             / (reso / 2)
         x, y, z = jnp.meshgrid(idx, idx, idx, indexing="ij")
@@ -325,7 +326,6 @@ def bench_plenoxels_256():
 
     key = jax.random.PRNGKey(1)
     jax.block_until_ready(step(grid.density, grid.sh, key))  # compile
-    inner = 5
 
     def rep(i):
         r = None
@@ -334,10 +334,10 @@ def bench_plenoxels_256():
                      jax.random.fold_in(key, i * inner + j))
         return r
 
-    iters = 3
     dt, spread = _rep_stats(rep, iters, jax.block_until_ready)
     rps = iters * inner * n_rays / dt / max(len(jax.devices()), 1)
-    emit("plenoxels_256_train_rays_per_sec_per_chip", rps, "rays/s/chip",
+    emit(f"plenoxels_{reso}_train_rays_per_sec_per_chip", rps,
+         "rays/s/chip",
          rps / 26700.0,
          baseline="SELF-multiple: the same kernel DENSE at 256^3 "
          "(26.7k rays/s, round-2 measurement); svox2 publishes no "

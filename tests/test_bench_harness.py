@@ -173,3 +173,20 @@ def test_read_ablation_artifact(tmp_path, monkeypatch):
     # absent file -> graceful Nones
     (tmp_path / "BENCH_ablation_quadtree.json").unlink()
     assert bench.read_ablation_artifact() == (None, None, None)
+
+
+@pytest.mark.slow
+def test_bench_plenoxels_256_smoke(tmp_path, monkeypatch, capsys):
+    """The 256^3-scale bench's full control flow (on-device coherent
+    grid, mip-skipping kernel, slab TV in the loss) at a tiny CPU shape
+    (interpret-mode Pallas)."""
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    bench.bench_plenoxels_256(reso=32, n_rays=128, max_steps=64,
+                              inner=1, iters=1)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "plenoxels_32_train_rays_per_sec_per_chip"
+    assert rec["value"] > 0
