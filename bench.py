@@ -555,6 +555,16 @@ def bench_hash_lattice():
          baseline="SELF-multiple: v3 sorted-block engine at the same "
          "65k-point step shape (49.3 ms, round-3 measurement)",
          n_reps=2, spread_pct=spread)
+    # roofline audit of the engine itself: analytic slab-matmul flops
+    # (hash_lattice.lattice_flops_estimate) over the measured time
+    from flnerf_tpu.ops.hash_lattice import lattice_flops_estimate
+    est = lattice_flops_estimate(spec, 65536)
+    tflops = est["flops_total"] / (ms / 1e3) / 1e12
+    emit("ngp_engine_executed_tflops", tflops, "TFLOP/s", tflops / 33.0,
+         baseline="analytic big-group slab-matmul flops / measured "
+         "fwd+bwd time; vs_baseline = fraction of the 33 TFLOP/s bf16 "
+         "roof (sorts, one-hot builds and the small-level path share "
+         "the same wall-clock)", n_reps=2, spread_pct=spread)
 
 
 # ---------------------------------------------------------------------------

@@ -943,3 +943,36 @@ def levels_from_pack64(table_big, spec: LatticeSpec):
     sizes = spec.split.big.sizes
     flat = table_big.reshape(spec.n_big, -1, 2)
     return [flat[li, :int(sizes[li])] for li in range(spec.n_big)]
+
+
+def lattice_flops_estimate(spec: LatticeSpec, n_points: int) -> dict:
+    """Analytic MXU-flop count of the big-group slab matmuls for one
+    fwd+bwd encode of ``n_points`` (the roofline denominator for the
+    ngp_engine_executed_tflops bench line).
+
+    Counts (MAC = 2 flops):
+      * fwd fetch: per (chunk, level, corner, block) one
+        [block, r] @ [r, 128] slab matmul — dense levels run DUAL slabs
+        (head + tail) so their row count doubles;
+      * bwd scatter: the transposed contraction, same MAC count.
+    Excludes: sorts and one-hot construction (VPU), the small-level
+    matmul path (<= split_min_size tables; ~10% of MACs at 2^19), and
+    dL/dx (not needed — sample positions carry no gradient in training).
+    """
+    g = _geometry(n_points, spec)
+    big = spec.split.big
+    per_level_rows = []
+    for li in range(spec.n_big):
+        if big.use_hash[li]:
+            per_level_rows.append(g.r_hash)           # single slab
+        else:
+            per_level_rows.append(2 * g.r_dense[li])  # dual head+tail
+    mac_fwd = sum(8 * g.n_ch * g.m_pad * r * LANES for r in per_level_rows)
+    flops_fwd = 2.0 * mac_fwd
+    return {
+        "geometry": {"n_ch": g.n_ch, "m_pad": g.m_pad, "block": g.block,
+                     "r_hash": g.r_hash, "r_dense": list(g.r_dense)},
+        "flops_fwd": flops_fwd,
+        "flops_bwd": flops_fwd,           # transposed scatter, same MACs
+        "flops_total": 2.0 * flops_fwd,
+    }
