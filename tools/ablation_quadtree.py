@@ -73,10 +73,15 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=96,
     gcfg = VoxelGridConfig(
         reso=(reso,) * 3, radius=(1.2,) * 3, max_steps=256, step_size=0.7,
         init_sigma=0.1)
+    # thres 0.005, not the reference's 0.05: at 0.05 no leaf on this
+    # scene ever subdivides (leaf MSE < 0.05 from epoch 1) and the
+    # budget collapses to the 10-ray floor — the tree must track error
+    # for the arm to exercise the paper's mechanism at all (the same
+    # finding as bench.bench_time_to_psnr, r4)
     tcfg = PlenoxelsTrainConfig(
         n_epoch=max_epochs, batch_size=4096, steps_per_chunk=8,
         lr_sigma=1e1, lr_sh=1e-2, lr_sigma_delay_steps=0,
-        subdivide_every=1, subdivide_thres=0.05, use_kernel=True, seed=seed)
+        subdivide_every=1, subdivide_thres=0.005, use_kernel=True, seed=seed)
     trainer = PlenoxelsTrainer(gcfg, tcfg)
     budgeter = RayBudgeter(images[tr], o, d, init_level=2, seed=seed)
 
@@ -112,10 +117,11 @@ def run_plenoxels(mode: str, budget_s: float, seed: int = 0, H=96,
             ep = budgeter.gen_rays(down_scale=1, last_epoch=True)
             trainer.run_epoch_rays(ep)
         train_s += time.time() - t0
-        # full-image PSNR on a TRAIN view: identical eval for both arms;
-        # held-out views cap below the thresholds at this few-view scale
-        # (floaters), which would hide the wall-clock ordering
-        psnr, _ = trainer.eval_images(poses[tr][:1], images[tr][:1], Hh, W,
+        # full-image PSNR over TWO train views (off the clock): identical
+        # eval for both arms; held-out views cap below the thresholds at
+        # this few-view scale (floaters), which would hide the wall-clock
+        # ordering; the 2nd view halves crossing-time eval noise
+        psnr, _ = trainer.eval_images(poses[tr][:2], images[tr][:2], Hh, W,
                                       K, chunk=4096)
         _curve_entry(rec, epoch, psnr, train_s, ep.origins.shape[0])
         if train_s > budget_s or (early_stop_psnr is not None
