@@ -110,6 +110,7 @@ def emit(metric, value, unit, vs_baseline, baseline="", n_reps=1,
         "vs_baseline": float(f"{float(vs_baseline):.4g}"),
         "baseline": baseline, "n_reps": int(n_reps),
         "spread_pct": round(float(spread_pct), 1),
+        "t": round(time.time() - _T0, 1),   # stage-cost audit trail
     }
     print(json.dumps(rec), flush=True)
     _RECORDS.append(rec)
