@@ -287,7 +287,7 @@ def bench_plenoxels_256(reso=256, n_rays=4096, max_steps=768, inner=5,
 
     @jax.jit
     def make_grid(key):
-        k1, k2 = jnp.asarray(jax.random.split(key))
+        k1, k2 = jax.random.split(key)
         idx = (jnp.arange(reso, dtype=jnp.float32) - (reso - 1) / 2) \
             / (reso / 2)
         x, y, z = jnp.meshgrid(idx, idx, idx, indexing="ij")
