@@ -367,9 +367,13 @@ def _ngp_trainer(log2=19, synth_h=64, engine="auto", batch_rays=4096,
     cfg = NGPConfig(bound=1.5, log2_hashmap_size=log2, hash_engine=engine)
     init_fn, density_fn, rgb_fn = make_ngp_field(cfg, jnp.bfloat16)
     # n_keep=16 ~ torch-ngp's converged mean_count; K=16 also reaches
-    # higher psnr than K=32 at equal steps on this scene (DESIGN.md)
+    # higher psnr than K=32 at equal steps on this scene (DESIGN.md).
+    # partial_stride=4: 1/64-grid steady-state refreshes — the r5
+    # profile put the strided-eighth refresh at ~3.7 ms/step amortized
+    # while the compiled train step is 34 ms; stride 4 cuts it ~8x and
+    # the ngp time-to-PSNR line (same config) gates the staleness cost.
     rcfg = NGPRenderConfig(n_candidates=128, n_keep=16, grid_size=128,
-                           bound=1.5)
+                           bound=1.5, partial_stride=4)
     tcfg = NGPTrainConfig(max_steps=48, batch_rays=batch_rays,
                           steps_per_chunk=16, full_refreshes=2, seed=seed)
     t = NGPTrainer(init_fn, density_fn, rgb_fn, rcfg, tcfg)

@@ -53,6 +53,15 @@ class NGPRenderConfig(NamedTuple):
     # 'onehot' (cumsum ranks + two [N,K,S] one-hot contractions — no
     # sort network; same output, measured A/B in tools/r3_batch.py)
     compaction: str = "argsort"
+    # steady-state partial refresh granularity: one of stride^3 parity
+    # classes of cells per update (G^3/stride^3 field evals).  The
+    # reference resamples G^3/2 points per update (renderer.py:489-506)
+    # because its fused CUDA MLP makes field evals nearly free; here the
+    # encode IS the cost, so the sweep is strided — stride 2 (an eighth)
+    # matches r2-r4 behavior, stride 4 (1/64, full coverage every 64
+    # updates) trades refresh staleness for ~8x less refresh compute
+    # (quality-gated by the ngp time-to-PSNR bench line).
+    partial_stride: int = 2
 
 
 class OccupancyState(NamedTuple):
@@ -260,25 +269,26 @@ def update_occupancy(
             pack_occupancy(new_density, mean, cfg)
             if occ.bits is not None else None)
 
-    if g % 2:
-        # parity classes need an even grid; odd sizes just do full sweeps
+    s = max(int(cfg.partial_stride), 2)
+    if g % s:
+        # parity classes need a divisible grid; odd sizes do full sweeps
         return update_occupancy(occ, params, density_fn, key, cfg, chunk,
                                 partial=False)
 
-    gh = g // 2
+    gh = g // s
     kp, kj = jax.random.split(key)
-    parity = jax.random.randint(kp, (3,), 0, 2)
+    parity = jax.random.randint(kp, (3,), 0, s)
     idx = jnp.arange(gh)
     gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
-    cells = (jnp.stack([gx, gy, gz], -1).reshape(-1, 3) * 2
+    cells = (jnp.stack([gx, gy, gz], -1).reshape(-1, 3) * s
              + parity[None, :]).astype(jnp.float32)
     sigma = _density_sweep(params, density_fn, cells, kj, g, cfg,
                            chunk).reshape(gh, gh, gh)
 
     # strided write-back with NO scatter: view the grid as parity-major
-    # [2, 2, 2, gh, gh, gh] and dynamic-update the sampled parity class
+    # [s, s, s, gh, gh, gh] and dynamic-update the sampled parity class
     d6 = jnp.transpose(
-        decayed.reshape(gh, 2, gh, 2, gh, 2), (1, 3, 5, 0, 2, 4))
+        decayed.reshape(gh, s, gh, s, gh, s), (1, 3, 5, 0, 2, 4))
     sub = jax.lax.dynamic_slice(
         d6, (parity[0], parity[1], parity[2], 0, 0, 0),
         (1, 1, 1, gh, gh, gh))

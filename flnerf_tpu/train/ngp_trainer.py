@@ -477,14 +477,20 @@ class NGPTrainer:
         # after the loop)
         pending = None
 
+        hist_start = len(self.history)
+
         def absorb(p):
             img_ids, inds_coarse, per_ray, losses, step_after = p
             if inds_coarse is not None:
                 sampler.update_error_map(img_ids, inds_coarse,
                                          np.asarray(per_ray))
+            # keep the loss as a DEVICE scalar: float() here costs a
+            # ~28 ms tunnel round trip PER CHUNK (~1.75 ms/step at 16
+            # steps/chunk) that the async pipeline cannot hide; all of
+            # this fit's entries are materialized in one sync at the end
             self.history.append(
                 {"step": step_after, "wall_s": time.time() - t0,
-                 "loss": float(losses[-1])})
+                 "loss": losses[-1]})
 
         # all-pixel switch at a GLOBAL step threshold: computing it from
         # this call's n_chunks made interleaved fit(n_steps=...) callers
@@ -535,6 +541,8 @@ class NGPTrainer:
                     )
         if pending is not None:
             absorb(pending)
+        for h in self.history[hist_start:]:   # one deferred sync
+            h["loss"] = float(h["loss"])
         return self.state
 
     # ------------------------------------------------------------------

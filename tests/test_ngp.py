@@ -541,3 +541,43 @@ def test_patch_mode_sampling():
             xs, ys = idx // W, idx % W
             assert xs.max() - xs.min() == 3 and ys.max() - ys.min() == 3
             assert len(np.unique(idx)) == 16
+
+
+def test_partial_occupancy_refresh_stride4():
+    """partial_stride=4 resamples exactly one of 64 parity classes
+    (G^3/64 cells) per update — the cheap steady-state refresh the r5
+    per-flop work rides; write-back layout must stay exact."""
+    from flnerf_tpu.render.ngp import (
+        NGPRenderConfig, OccupancyState, update_occupancy,
+    )
+
+    cfg = NGPRenderConfig(grid_size=16, bound=1.0, decay=0.9,
+                          partial_stride=4)
+    g = cfg.grid_size
+    base = jnp.full((g, g, g), 2.0)
+    base = base.at[0, 0, 0].set(-1.0)
+    occ = OccupancyState(base, jnp.float32(0.0))
+
+    def density_fn(params, x):
+        return jnp.full(x.shape[:-1], 5.0), None
+
+    new = update_occupancy(occ, None, density_fn, jax.random.PRNGKey(3),
+                           cfg, partial=True)
+    d = np.asarray(new.density)
+    assert d[0, 0, 0] == -1.0
+    refreshed = np.isclose(d, 5.0)
+    decayed = np.isclose(d, 1.8)
+    assert refreshed.sum() + decayed.sum() + 1 == g ** 3
+    assert abs(int(refreshed.sum()) - g ** 3 // 64) <= 1
+    cells = np.argwhere(refreshed)
+    parity = cells[0] % 4
+    assert ((cells % 4) == parity).all()
+    # over many keys, every parity class eventually refreshes (coverage)
+    seen = set()
+    for s in range(40):
+        n2 = update_occupancy(occ, None, density_fn,
+                              jax.random.PRNGKey(100 + s), cfg,
+                              partial=True)
+        c = np.argwhere(np.isclose(np.asarray(n2.density), 5.0))
+        seen.add(tuple(c[0] % 4))
+    assert len(seen) > 20
