@@ -333,3 +333,24 @@ def test_lattice_engine_multichip_parity():
     # psum, so partition order shifts low bits (~2% rel worst case)
     np.testing.assert_allclose(np.asarray(g_m), ref_g,
                                atol=1e-4, rtol=3e-2)
+
+
+def test_lattice_flops_estimate_shape_and_scaling():
+    """The roofline estimator (bench's ngp_engine_executed_tflops
+    denominator): positive, ~linear in points at fixed geometry class,
+    dense levels dual-slab counted."""
+    from flnerf_tpu.ops.hash_lattice import (
+        lattice_flops_estimate, make_lattice_spec,
+    )
+
+    spec = make_lattice_spec(log2_hashmap_size=19)
+    e16 = lattice_flops_estimate(spec, 16384)
+    e65 = lattice_flops_estimate(spec, 65536)
+    assert e16["flops_total"] > 0
+    assert e16["flops_fwd"] == e16["flops_bwd"]
+    # same chunk count, 4x points: within ~3x-6x (slab rows shrink as
+    # density rises, so scaling is sublinear in flops-per-point terms)
+    ratio = e65["flops_total"] / e16["flops_total"]
+    assert 1.5 < ratio < 6.0, ratio
+    g = e65["geometry"]
+    assert g["m_pad"] == 65536 and g["r_hash"] > 0
