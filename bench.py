@@ -1020,15 +1020,15 @@ def bench_nerf_ablation(seeds=(0, 1), budget_s=340.0, early_stop=32.7,
 
 
 def read_ablation_artifact(path="BENCH_ablation_quadtree.json",
-                           t2p_target=20.0):
+                           t2p_target=20.0, backend="nerf"):
     """Headline payloads from the versioned multi-seed ablation artifact
-    (tools/ablation_quadtree.py --seeds 0,1,2 --budget 600: the
-    full-statistics run each round commits).  Returns (speedup_payload,
-    t2p_payload) or (None, None)."""
+    (tools/ablation_quadtree.py --seeds ... : the full-statistics run
+    each round commits).  Returns (speedup_payload, t2p_payload,
+    equal_quality_payload) or Nones."""
     try:
         with open(path) as f:
             art = json.load(f)
-        sps = art["speedups"]["nerf"]
+        sps = art["speedups"][backend]
         sp_payload = None
         for t in reversed(art["thresholds"]):
             key = f"psnr_{t:g}"
@@ -1040,7 +1040,7 @@ def read_ablation_artifact(path="BENCH_ablation_quadtree.json",
                               else 0.0}
                 break
         tts = []
-        for curve in art["curves"]["nerf"].values():
+        for curve in art["curves"][backend].values():
             cross = [s["wall_s"] for s in curve["quadtree"]
                      if s["psnr"] >= t2p_target]
             if cross:
@@ -1180,6 +1180,16 @@ def main():
              "SAME end quality (the paper's equal-quality statistic); "
              f"per-seed: {art_eq['per_seed']} — versioned artifact",
              n_reps=art_eq["n"], spread_pct=art_eq["spread"])
+    plx_sp, _, plx_eq = read_ablation_artifact(backend="plenoxels")
+    if plx_sp is not None:
+        emit("quadtree_speedup_plenoxels_3seed", plx_sp["value"], "x",
+             plx_sp["value"],
+             baseline="plenoxels-backend quadtree-vs-allpixel arms from "
+             "the versioned artifact (200 s arms, highest threshold all "
+             f"seeds reach: psnr_{plx_sp['threshold']}"
+             + (f"; equal-quality median {plx_eq['value']:.2f}x over "
+                f"{plx_eq['per_seed']}" if plx_eq else "") + ")",
+             n_reps=plx_sp["n"], spread_pct=plx_sp["spread"])
 
     # loud health line (VERDICT r3 #10): any error/-1 above shows here,
     # so a broken metric can't slip into a round artifact silently
