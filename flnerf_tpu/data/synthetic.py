@@ -113,7 +113,17 @@ def write_blender_fixture(basedir: str, H: int = 96, W: int = None,
     K = intrinsics_matrix(H, W, focal)
     n = n_train + n_val + n_test
     thetas = np.linspace(-180, 180, n, endpoint=False)
-    splits = ["train"] * n_train + ["val"] * n_val + ["test"] * n_test
+    # INTERLEAVE the splits around the azimuth circle: blender test
+    # poses interpolate the train set.  A block split (train first,
+    # val/test last) hands eval the one azimuth range training never
+    # saw, and every golden band measures extrapolation instead of the
+    # pipeline (r5: fixture_ngp scored 12 dB that way).
+    splits = ["train"] * n
+    held = ["val"] * n_val + ["test"] * n_test
+    if held:
+        step = n / len(held)
+        for j, s in enumerate(held):
+            splits[min(int((j + 0.5) * step), n - 1)] = s
     metas = {s: {"camera_angle_x": float(camera_angle_x), "frames": []}
              for s in ("train", "val", "test")}
     for i, (th, s) in enumerate(zip(thetas, splits)):

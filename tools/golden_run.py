@@ -82,8 +82,10 @@ EXPECTED = {
 
 def _ensure_fixture():
     from flnerf_tpu.data.synthetic import write_blender_fixture
-    if not os.path.isfile(os.path.join(FIX_DIR, "transforms_train.json")):
+    marker = os.path.join(FIX_DIR, ".fixture_v2")  # v2: interleaved splits
+    if not os.path.isfile(marker):
         write_blender_fixture(FIX_DIR, H=96, n_train=12, n_val=2, n_test=2)
+        open(marker, "w").write("interleaved splits\n")
     return FIX_DIR
 
 
