@@ -190,3 +190,67 @@ def test_bench_plenoxels_256_smoke(tmp_path, monkeypatch, capsys):
     rec = json.loads(line)
     assert rec["metric"] == "plenoxels_32_train_rays_per_sec_per_chip"
     assert rec["value"] > 0
+
+
+def test_bench_main_control_flow(tmp_path, monkeypatch, capsys):
+    """bench.main() end-of-run contract (VERDICT r4 #1): every stage
+    wrapped, ablation budget-trimmed/skipped, artifact-backed headline
+    lines, bench_health, ONE compact summary, and the LAST stdout line
+    is the headline speedup — all without a device."""
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(bench, "_RECORDS", [])
+    monkeypatch.setattr(bench, "_FAILED", [])
+    monkeypatch.setattr(bench, "_probe_device", lambda: True)
+    from flnerf_tpu.core import compile_cache
+    monkeypatch.setattr(compile_cache, "enable_compile_cache",
+                        lambda: None)
+
+    def stub(name):
+        return lambda: bench.emit(name, 1.0, "x", 1.0, baseline="stub")
+
+    for fn in ("bench_nerf", "bench_plenoxels_kernel",
+               "bench_plenoxels_256", "bench_ngp", "bench_nerfpp",
+               "bench_hash_capacity", "bench_hash_lattice",
+               "bench_time_to_psnr", "bench_ngp_time_to_psnr",
+               "bench_nerfpp_time_to_psnr", "bench_tensorf_time_to_psnr"):
+        monkeypatch.setattr(bench, fn, stub(fn))
+
+    def bench_novelview_gap():
+        raise RuntimeError("stage exploded")
+
+    monkeypatch.setattr(bench, "bench_novelview_gap", bench_novelview_gap)
+    # force the "no time left" branch: ablation skipped, artifact-backed
+    monkeypatch.setattr(bench, "remaining_s", lambda: 100.0)
+    art = {
+        "thresholds": [20, 32],
+        "speedups": {"nerf": [
+            {"psnr_20": 1.0, "psnr_32": 1.4,
+             "at_allpixel_final": {"allpixel_end_psnr": 34.5,
+                                   "allpixel_wall_s": 300.0,
+                                   "quadtree_t_s": 200.0,
+                                   "speedup": 1.5}}]},
+        "curves": {"nerf": {"seed0": {"quadtree": [
+            {"psnr": 21, "wall_s": 7}]}}},
+    }
+    (tmp_path / "BENCH_ablation_quadtree.json").write_text(json.dumps(art))
+
+    bench.main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    metrics = [r["metric"] for r in lines]
+    assert metrics[-1] == "quadtree_speedup_time_to_psnr"
+    assert lines[-1]["value"] == pytest.approx(1.4)  # artifact-backed
+    assert "from the versioned full-budget artifact" in \
+        lines[-1]["baseline"]
+    assert "bench_summary" in metrics and "bench_health" in metrics
+    health = next(r for r in lines if r["metric"] == "bench_health")
+    assert health["value"] == 1.0  # exactly the exploded stage
+    assert "bench_novelview_gap" in health["baseline"]
+    assert "nerf_synth_time_to_psnr20_s" in metrics  # artifact fallback
+    assert "quadtree_speedup_at_allpixel_final" in metrics
+    summary = next(r for r in lines if r["metric"] == "bench_summary")
+    assert summary["values"]["bench_nerf"] == 1.0
+    full = json.loads((tmp_path / "BENCH_full.json").read_text())
+    assert len(full["lines"]) >= len(metrics) - 1  # summary not a record
