@@ -253,4 +253,5 @@ def test_bench_main_control_flow(tmp_path, monkeypatch, capsys):
     summary = next(r for r in lines if r["metric"] == "bench_summary")
     assert summary["values"]["bench_nerf"] == 1.0
     full = json.loads((tmp_path / "BENCH_full.json").read_text())
-    assert len(full["lines"]) >= len(metrics) - 1  # summary not a record
+    # summary + the ablation-skip note print but aren't records
+    assert len(full["lines"]) >= len(metrics) - 2
