@@ -137,13 +137,22 @@ def _spread(vals):
 
 
 def _rep_stats(fn, n_reps, sync):
-    """Run fn() n_reps times; returns (total_s, spread_pct over reps)."""
+    """Run fn() n_reps times; returns (median_rep * n_reps, spread_pct).
+
+    Median-rep (not the sum): host-dispatch-bound rep loops share ONE
+    CPU core with whatever else runs on the box, and a single contended
+    rep would otherwise drag the throughput number by its full overrun
+    while the spread line under-reports it (r5: 93% spread on
+    plenoxels_256 with pytest running concurrently).  The returned
+    spread still exposes the contention."""
     ts = []
     for i in range(n_reps):
         t0 = time.perf_counter()
         sync(fn(i))
         ts.append(time.perf_counter() - t0)
-    return sum(ts), _spread(ts)
+    med = sorted(ts)[len(ts) // 2] if len(ts) % 2 else (
+        sorted(ts)[len(ts) // 2 - 1] + sorted(ts)[len(ts) // 2]) / 2.0
+    return med * n_reps, _spread(ts)
 
 
 # ---------------------------------------------------------------------------
@@ -701,12 +710,16 @@ def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
     if not good:
         emit(metric, -1.0, "s", 0.0, failed=True)
         return
-    tt = sum(good) / len(good)
+    # MEDIAN of >=3 seeds (VERDICT r4 #6): one slow-converging seed
+    # dominated the r4/r5-interim means (129% spread when contended);
+    # the median is the robust center, spread still reported alongside
+    tt = float(np.median(good))
     xla_equiv = (sum(total_rays) / len(total_rays)) / 1339.0
     emit(metric, tt, "s", xla_equiv / tt,
          baseline="SELF-multiple: same rays at the XLA path's rate; "
-         "metric changed r4 to full-image train-view eval (r2/r3 used "
-         "the quadtree-biased train-ray MSE)",
+         "median of per-seed crossings (per-seed values in "
+         "BENCH_time_to_psnr.json); metric changed r4 to full-image "
+         "train-view eval (r2/r3 used the quadtree-biased train-ray MSE)",
          n_reps=len(good), spread_pct=_spread(good) if len(good) > 1 else 0.0)
 
 
@@ -764,10 +777,12 @@ def bench_ngp_time_to_psnr(seeds=(0, 1, 2), synth_h=64, target=20.0,
     rec0.save("BENCH_time_to_psnr_ngp.json")
     good = [t for t in tts if t is not None]
     emit(f"ngp_synth_time_to_psnr{int(target)}_s",
-         sum(good) / len(good) if good else -1.0, "s",
+         float(np.median(good)) if good else -1.0, "s",
          1.0 if good else 0.0, failed=not good,
          baseline="absolute (no external reference at this scene); "
-         "full-image train-view eval, training-only clock",
+         "median of per-seed crossings (per-seed values in "
+         "BENCH_time_to_psnr_ngp.json), full-image train-view eval, "
+         "training-only clock",
          n_reps=max(len(good), 1),
          spread_pct=_spread(good) if len(good) > 1 else 0.0)
 
@@ -930,10 +945,12 @@ def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
     rec0.save("BENCH_time_to_psnr_tensorf.json")
     good = [t for t in tts if t is not None]
     emit(f"tensorf_synth_time_to_psnr{int(target)}_s",
-         sum(good) / len(good) if good else -1.0, "s",
+         float(np.median(good)) if good else -1.0, "s",
          1.0 if good else 0.0, failed=not good,
          baseline="absolute (no external reference at this scene); "
-         "full-image train-view eval, training-only clock",
+         "median of per-seed crossings (per-seed values in "
+         "BENCH_time_to_psnr_tensorf.json), full-image train-view eval, "
+         "training-only clock",
          n_reps=max(len(good), 1),
          spread_pct=_spread(good) if len(good) > 1 else 0.0)
     return tts
@@ -993,7 +1010,11 @@ def bench_nerf_ablation(seeds=(0, 1), budget_s=340.0, early_stop=32.7,
         curves[f"seed{seed}"] = {"quadtree": rq.samples,
                                  "allpixel": ra.samples,
                                  "meta": [rq.meta, ra.meta]}
-    with open("BENCH_ablation_quadtree.json", "w") as f:
+    # in-run slice goes to its OWN file: the versioned full-budget
+    # artifact (tools/ablation_quadtree.py, multi-seed + plenoxels +
+    # at_allpixel_final) must survive a bench run, because the headline
+    # artifact-sourced lines are read from it AFTER this stage
+    with open("BENCH_ablation_inrun.json", "w") as f:
         json.dump({"curves": {"nerf": curves},
                    "speedups": {"nerf": sps},
                    "thresholds": thresholds}, f, indent=1)
@@ -1034,10 +1055,14 @@ def read_ablation_artifact(path="BENCH_ablation_quadtree.json",
             key = f"psnr_{t:g}"
             if sps and all(key in sp for sp in sps):
                 vals = [sp[key] for sp in sps]
-                sp_payload = {"value": sum(vals) / len(vals),
+                # median across seeds (VERDICT r4 #6): at 34 dB the
+                # crossing is ill-conditioned and one seed can carry a
+                # 2.8x outlier; the median is the robust center
+                sp_payload = {"value": float(np.median(vals)),
                               "threshold": t, "n": len(vals),
                               "spread": _spread(vals) if len(vals) > 1
-                              else 0.0}
+                              else 0.0,
+                              "per_seed": [round(v, 3) for v in vals]}
                 break
         tts = []
         for curve in art["curves"][backend].values():
@@ -1047,7 +1072,7 @@ def read_ablation_artifact(path="BENCH_ablation_quadtree.json",
                 tts.append(min(cross))
         t2p_payload = None
         if tts:
-            t2p_payload = {"value": sum(tts) / len(tts), "n": len(tts),
+            t2p_payload = {"value": float(np.median(tts)), "n": len(tts),
                            "spread": _spread(tts) if len(tts) > 1 else 0.0}
         # the paper-shaped per-seed statistic: quadtree time to reach
         # the all-pixel arm's whole-budget END quality

@@ -92,9 +92,11 @@ def test_bench_nerf_ablation_smoke(tmp_path, monkeypatch, capsys):
     metrics = {r["metric"] for r in lines}
     assert "nerf_synth_time_to_psnr2_s" in metrics
     assert "quadtree_speedup_time_to_psnr" in metrics
+    # the in-run slice must NOT clobber the versioned multi-seed artifact
     art = json.loads(
-        (tmp_path / "BENCH_ablation_quadtree.json").read_text())
+        (tmp_path / "BENCH_ablation_inrun.json").read_text())
     assert "seed0" in art["curves"]["nerf"]
+    assert not (tmp_path / "BENCH_ablation_quadtree.json").exists()
 
 
 @pytest.mark.slow
@@ -138,8 +140,9 @@ def test_emit_persists_full_artifact(tmp_path, monkeypatch, capsys):
 
 def test_read_ablation_artifact(tmp_path, monkeypatch):
     """Headline fallback parses the versioned multi-seed artifact: the
-    speedup at the highest threshold ALL seeds reach, and the quadtree
-    arm's mean time-to-target."""
+    MEDIAN speedup at the highest threshold ALL seeds reach (robust to
+    one ill-conditioned-crossing outlier seed, VERDICT r4 #6), and the
+    quadtree arm's median time-to-target."""
     import bench
 
     monkeypatch.chdir(tmp_path)
@@ -156,20 +159,27 @@ def test_read_ablation_artifact(tmp_path, monkeypatch):
                                    "allpixel_wall_s": 330.0,
                                    "quadtree_t_s": None,
                                    "speedup": None}},
+            {"psnr_20": 0.9, "psnr_30": 4.1,   # outlier crossing
+             "at_allpixel_final": {"allpixel_end_psnr": 34.2,
+                                   "allpixel_wall_s": 310.0,
+                                   "quadtree_t_s": 100.0,
+                                   "speedup": 3.1}},
         ]},
         "curves": {"nerf": {
             "seed0": {"quadtree": [{"psnr": 18, "wall_s": 5},
                                    {"psnr": 21, "wall_s": 9}]},
             "seed1": {"quadtree": [{"psnr": 25, "wall_s": 11}]},
+            "seed2": {"quadtree": [{"psnr": 22, "wall_s": 45}]},
         }},
     }
     (tmp_path / "BENCH_ablation_quadtree.json").write_text(json.dumps(art))
     sp, t2p, eq = bench.read_ablation_artifact()
-    assert sp["threshold"] == 30 and sp["n"] == 2
-    assert sp["value"] == pytest.approx(1.5)
-    assert t2p["n"] == 2 and t2p["value"] == pytest.approx(10.0)
+    assert sp["threshold"] == 30 and sp["n"] == 3
+    assert sp["value"] == pytest.approx(1.6)       # median, not mean 2.37
+    assert sp["per_seed"] == [1.4, 1.6, 4.1]
+    assert t2p["n"] == 3 and t2p["value"] == pytest.approx(11.0)
     # the None-speedup seed is dropped from the equal-quality stat
-    assert eq["n"] == 1 and eq["value"] == pytest.approx(2.0)
+    assert eq["n"] == 2 and eq["value"] == pytest.approx(2.55)
     # absent file -> graceful Nones
     (tmp_path / "BENCH_ablation_quadtree.json").unlink()
     assert bench.read_ablation_artifact() == (None, None, None)
