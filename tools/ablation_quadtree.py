@@ -309,7 +309,15 @@ def main(argv=None):
         backends = {k: (fn, a.budget) for k, (fn, b) in backends.items()}
     seeds = [int(s) for s in a.seeds.split(",")]
     for name, (fn, budget) in backends.items():
-        curves, sps = art["curves"].setdefault(name, {}), []
+        curves = art["curves"].setdefault(name, {})
+        # APPEND to a merged artifact rather than replacing the backend's
+        # seed list: an incremental `--backend nerf --seeds 3,4` run must
+        # extend the n=3 statistics, not shadow them.  Entries carry a
+        # "seed" label going forward; re-run seeds replace their labeled
+        # entry (legacy unlabeled entries are kept — avoid re-running
+        # their seeds or the stats double-count).
+        sps = [sp for sp in art["speedups"].get(name, [])
+               if sp.get("seed") not in seeds]
         art["speedups"][name] = sps      # same list object: checkpoints
         for seed in seeds:               # carry partial results
 
@@ -322,7 +330,8 @@ def main(argv=None):
             curves[f"seed{seed}"] = {"quadtree": rq.samples,
                                      "allpixel": ra.samples,
                                      "meta": [rq.meta, ra.meta]}
-            sps.append(speedups(rq, ra, art["thresholds"]))
+            sps.append({**speedups(rq, ra, art["thresholds"]),
+                        "seed": seed})
             print(f"{name} seed {seed} speedups:", sps[-1], flush=True)
             if name == "nerf" and seed == seeds[0]:
                 write_nerf_t2p_artifact(rq)
