@@ -1095,6 +1095,19 @@ def emit_quadtree_speedup(payload, source="in-run"):
              baseline="1.0 = parity with all-pixel training", n_reps=1,
              failed=True)
         return
+    if source == "eq":
+        # the paper-shaped, well-conditioned statistic: MEDIAN per-seed
+        # ratio of the all-pixel arm's whole-budget wall-clock to the
+        # quadtree arm's time to the SAME end quality (fixed-threshold
+        # crossings near saturation carry 74% seed spread; this doesn't)
+        emit("quadtree_speedup_time_to_psnr", payload["value"], "x",
+             payload["value"],
+             baseline="equal-quality vs all-pixel NeRF training: median "
+             "per-seed allpixel_wall / quadtree_time_to_allpixel_end_psnr "
+             f"over full-budget 600 s arms (per-seed {payload['per_seed']}; "
+             "1.0 = parity; versioned BENCH_ablation_quadtree.json)",
+             n_reps=payload["n"], spread_pct=payload["spread"])
+        return
     prov = ("measured in this run" if source == "in-run" else
             "from the versioned full-budget artifact regenerated this "
             "round (600 s arms)")
@@ -1230,7 +1243,9 @@ def main():
     print(json.dumps({"metric": "bench_summary",
                       "values": summary,
                       "wall_s": round(time.time() - _T0, 1)}), flush=True)
-    if payload is not None:
+    if art_eq is not None:
+        emit_quadtree_speedup(art_eq, source="eq")
+    elif payload is not None:
         emit_quadtree_speedup(payload, source="in-run")
     else:
         emit_quadtree_speedup(art_sp, source="artifact")

@@ -251,9 +251,10 @@ def test_bench_main_control_flow(tmp_path, monkeypatch, capsys):
              if l.startswith("{")]
     metrics = [r["metric"] for r in lines]
     assert metrics[-1] == "quadtree_speedup_time_to_psnr"
-    assert lines[-1]["value"] == pytest.approx(1.4)  # artifact-backed
-    assert "from the versioned full-budget artifact" in \
-        lines[-1]["baseline"]
+    # headline prefers the equal-quality statistic (well-conditioned)
+    # over the fixed-threshold crossing (1.4 at psnr_32 in the fixture)
+    assert lines[-1]["value"] == pytest.approx(1.5)
+    assert "equal-quality" in lines[-1]["baseline"]
     assert "bench_summary" in metrics and "bench_health" in metrics
     health = next(r for r in lines if r["metric"] == "bench_health")
     assert health["value"] == 1.0  # exactly the exploded stage
