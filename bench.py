@@ -136,6 +136,52 @@ def _spread(vals):
     return 100.0 * (max(vals) - min(vals)) / max(abs(m), 1e-12)
 
 
+def _seeds_note(stage, kept, total):
+    rec = {"metric": f"{stage}_seed_trim",
+           "note": f"deadline: {kept}/{total} seeds fit "
+                   f"({remaining_s():.0f}s left)"}
+    print(json.dumps(rec), flush=True)
+    _RECORDS.append(rec)
+    _save_full()
+
+
+def _deadline_seeds(seeds, per_seed_s, reserve_s, stage):
+    """Deadline gate for the t2p seed loops (the r5 overrun fix: the
+    pre-ablation stages ran open-loop and blew the global budget by
+    456 s — the exact rc=124 failure mode of round 4).  Returns the
+    seeds that fit ``remaining_s()`` minus what the LATER stages still
+    need; the caller re-checks between seeds with the same arithmetic
+    so actual (not estimated) per-seed cost governs.  Empty result =
+    skip the stage and emit from the versioned artifact instead."""
+    avail = remaining_s() - reserve_s
+    n = min(len(seeds), int(max(0.0, avail) // max(per_seed_s, 1.0)))
+    if n < len(seeds):
+        _seeds_note(stage, n, len(seeds))
+    return tuple(seeds[:n])
+
+
+def _t2p_artifact_fallback(metric, artifact, baseline_extra=""):
+    """When the in-run slice doesn't fit the deadline, the metric line
+    still must reach the round artifact: source it from the versioned
+    per-seed recorder file committed in-tree (same provenance rule the
+    quadtree headline already uses)."""
+    try:
+        with open(artifact) as f:
+            tts = json.load(f)["meta"]["tts_per_seed"]
+    except (OSError, KeyError, ValueError):
+        emit(metric, -1.0, "s", 0.0, failed=True,
+             baseline=f"deadline skip and no versioned {artifact}")
+        return
+    good = [t for t in tts if t is not None]
+    emit(metric, float(np.median(good)) if good else -1.0, "s",
+         1.0 if good else 0.0, failed=not good,
+         baseline="from the versioned in-tree artifact "
+         f"{artifact} (in-run slice didn't fit the deadline)"
+         + baseline_extra,
+         n_reps=max(len(good), 1),
+         spread_pct=_spread(good) if len(good) > 1 else 0.0)
+
+
 def _rep_stats(fn, n_reps, sync):
     """Run fn() n_reps times; returns (median_rep * n_reps, spread_pct).
 
@@ -607,6 +653,15 @@ def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
     past 20 dB while the full-image eval plateaus ~14 dB (few-view
     floaters) — the honest metric needs enough views that image quality
     tracks ray fit (r4 TPU curve in git history)."""
+    # deadline gate: ~155 s/seed (measured with the crossed-break, r5
+    # validation run: 567 s = warm compile + 3 seeds) + ~100 s warm
+    # compile; the stages after this one need ~400 s
+    seeds = _deadline_seeds(seeds, per_seed_s=155.0, reserve_s=500.0,
+                            stage="plenoxels_t2p")
+    if not seeds:
+        _t2p_artifact_fallback("plenoxels_synth_time_to_psnr20_s",
+                               "BENCH_time_to_psnr.json")
+        return
     import jax
     import jax.numpy as jnp
 
@@ -664,6 +719,9 @@ def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
     tts, total_rays = [], []
     rec0 = None
     for seed in seeds:
+        if tts and remaining_s() - 400.0 < 155.0:
+            _seeds_note("plenoxels_t2p", len(tts), len(seeds))
+            break
         g0 = init_voxel_grid(gcfg)
         trainer.state = jax.device_put(
             PlenoxelsState(g0, jnp.zeros_like(g0.density),
@@ -697,7 +755,13 @@ def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
                                           H, W, K, chunk=4096)
             rec.record(psnr=psnr, epoch=epoch_id, wall_s=train_s,
                        rays=ep.origins.shape[0])
-            if psnr >= early_stop or train_s > budget_s:
+            # stop once the crossing is PINNED (target + 1 dB margin and
+            # a dense-enough curve), not only at early_stop: the r5 run
+            # sat at 20.8 dB for 60+ epochs chasing early_stop=22 and
+            # the off-clock per-epoch evals tripled the stage wall-clock
+            crossed = (rec.time_to_psnr(target) is not None
+                       and psnr >= target + 1.0 and len(rec.samples) >= 12)
+            if crossed or psnr >= early_stop or train_s > budget_s:
                 break
         tts.append(rec.time_to_psnr(target))
         total_rays.append(rays)
@@ -726,6 +790,12 @@ def bench_time_to_psnr(seeds=(0, 1, 2), H=64, reso=96, n_train=32,
 def bench_ngp_time_to_psnr(seeds=(0, 1, 2), synth_h=64, target=20.0,
                            max_iters=48, steps_per_iter=32, log2=19):
     """NGP backend wall-clock to full-image train-view PSNR (2^19)."""
+    seeds = _deadline_seeds(seeds, per_seed_s=35.0, reserve_s=330.0,
+                            stage="ngp_t2p")
+    if not seeds:
+        _t2p_artifact_fallback("ngp_synth_time_to_psnr20_s",
+                               "BENCH_time_to_psnr_ngp.json")
+        return
     import jax
 
     from flnerf_tpu.core.benchmark import BenchRecorder
@@ -752,6 +822,9 @@ def bench_ngp_time_to_psnr(seeds=(0, 1, 2), synth_h=64, target=20.0,
     tts = []
     rec0 = None
     for seed in seeds:
+        if tts and remaining_s() - 300.0 < 35.0:
+            _seeds_note("ngp_t2p", len(tts), len(seeds))
+            break
         t2, sampler2, _ = _ngp_trainer(log2=log2, synth_h=synth_h,
                                        seed=seed)   # fresh params
         rec = BenchRecorder(meta={
@@ -792,6 +865,12 @@ def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
                               seeds=(0, 1, 2)):
     """NeRF++ wall-clock to full-image train-view PSNR ``target`` on the
     synthetic inside-the-unit-sphere scene (fg + bg cascade)."""
+    seeds = _deadline_seeds(seeds, per_seed_s=45.0, reserve_s=220.0,
+                            stage="nerfpp_t2p")
+    if not seeds:
+        _t2p_artifact_fallback("nerfpp_synth_time_to_psnr20_s",
+                               "BENCH_time_to_psnr_nerfpp.json")
+        return None
     import jax
     import jax.numpy as jnp
 
@@ -834,6 +913,9 @@ def bench_nerfpp_time_to_psnr(H=64, n_train=8, target=20.0, max_epochs=60,
 
     tts, rec0 = [], None
     for seed in seeds:
+        if tts and remaining_s() - 200.0 < 45.0:
+            _seeds_note("nerfpp_t2p", len(tts), len(seeds))
+            break
         trainer = NerfPPTrainer(mcfg, tcfg._replace(seed=777 + seed))
         b = budgeter(seed)
         rec = BenchRecorder(meta={
@@ -882,6 +964,12 @@ def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
                                steps_per_iter=32, seeds=(0, 1, 2)):
     """TensoRF (VM) wall-clock to full-image train-view PSNR ``target``
     via the shared occupancy-marching trainer (128^3, rank 48)."""
+    seeds = _deadline_seeds(seeds, per_seed_s=35.0, reserve_s=110.0,
+                            stage="tensorf_t2p")
+    if not seeds:
+        _t2p_artifact_fallback("tensorf_synth_time_to_psnr20_s",
+                               "BENCH_time_to_psnr_tensorf.json")
+        return None
     import jax
     import jax.numpy as jnp
 
@@ -923,6 +1011,9 @@ def bench_tensorf_time_to_psnr(H=64, n_train=8, target=20.0, max_iters=48,
     tts = []
     rec0 = None
     for seed in seeds:
+        if tts and remaining_s() - 100.0 < 35.0:
+            _seeds_note("tensorf_t2p", len(tts), len(seeds))
+            break
         t, sampler = make(seed)
         rec = BenchRecorder(meta={
             "scene": "synthetic", "backend": "tensorf", "seed": seed,
@@ -962,6 +1053,14 @@ def bench_novelview_gap(budget_s=45.0, H=64, reso=96, n_train=32,
     the 32-view synthetic scene, then train-view minus test-view PSNR.
     Catches eval ray-gen bugs and out-of-distribution test poses — a
     healthy fit keeps the gap small at this view density."""
+    if remaining_s() < budget_s + 70.0:
+        rec = {"metric": "novelview_gap_db",
+               "note": f"skipped (deadline: {remaining_s():.0f}s left); "
+               "health gate only — pinned by tests, not a perf line"}
+        print(json.dumps(rec), flush=True)
+        _RECORDS.append(rec)
+        _save_full()
+        return
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tools.ablation_quadtree import run_plenoxels, eval_split
 

@@ -185,6 +185,47 @@ def test_read_ablation_artifact(tmp_path, monkeypatch):
     assert bench.read_ablation_artifact() == (None, None, None)
 
 
+def test_deadline_seed_gating(tmp_path, monkeypatch, capsys):
+    """The r5 overrun fix: t2p stages trim their seed loops to what the
+    global deadline affords (the r4 rc=124 / r5 +456s overruns both came
+    from open-loop pre-ablation stages) and, when nothing fits, emit the
+    metric from the versioned in-tree artifact so the round artifact
+    still carries every line."""
+    import bench
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(bench, "_RECORDS", [])
+    monkeypatch.setattr(bench, "_FAILED", [])
+    monkeypatch.setattr(bench, "remaining_s", lambda: 10000.0)
+    assert bench._deadline_seeds((0, 1, 2), 100.0, 400.0, "s") == (0, 1, 2)
+    monkeypatch.setattr(bench, "remaining_s", lambda: 640.0)
+    assert bench._deadline_seeds((0, 1, 2), 100.0, 400.0, "s") == (0, 1)
+    monkeypatch.setattr(bench, "remaining_s", lambda: 450.0)
+    assert bench._deadline_seeds((0, 1, 2), 100.0, 400.0, "s") == ()
+    # artifact fallback: median over non-None per-seed crossings
+    (tmp_path / "BENCH_time_to_psnr_ngp.json").write_text(json.dumps(
+        {"meta": {"tts_per_seed": [10.0, None, 14.0]}, "samples": []}))
+    bench._t2p_artifact_fallback("ngp_synth_time_to_psnr20_s",
+                                 "BENCH_time_to_psnr_ngp.json")
+    # the whole stage short-circuits to the fallback before any imports
+    # (below its own reserve_s=330 + 35s/seed threshold)
+    monkeypatch.setattr(bench, "remaining_s", lambda: 320.0)
+    bench.bench_ngp_time_to_psnr()
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    recs = [r for r in out
+            if r.get("metric") == "ngp_synth_time_to_psnr20_s"]
+    assert len(recs) == 2
+    for rec in recs:
+        assert rec["value"] == 12.0 and rec["n_reps"] == 2
+        assert "versioned" in rec["baseline"]
+    assert not bench._FAILED
+    # missing artifact -> a loud failed line, not a crash
+    bench._t2p_artifact_fallback("nerfpp_synth_time_to_psnr20_s",
+                                 "BENCH_time_to_psnr_nerfpp.json")
+    assert "nerfpp_synth_time_to_psnr20_s" in bench._FAILED
+
+
 @pytest.mark.slow
 def test_bench_plenoxels_256_smoke(tmp_path, monkeypatch, capsys):
     """The 256^3-scale bench's full control flow (on-device coherent
