@@ -250,6 +250,13 @@ class NGPTrainer:
         self._chunk_fn = self._make_chunk_fn()
         self._occ_fn = self._make_occ_fn()
         self.history = []
+        # host mirror of state.step: int(self.state.step) at every fit()
+        # entry costs a ~28 ms tunnel round trip AND serializes against
+        # all in-flight work — interleaved fit(n_steps) callers (CCNeRF
+        # level cycling, interactive stepping, the bench rep loop) pay it
+        # per call.  None = unknown (external state swap); fit() falls
+        # back to the device read once and re-seeds the mirror.
+        self._host_step = 0
 
     # ------------------------------------------------------------------
     def _make_occ_fn(self):
@@ -463,9 +470,11 @@ class NGPTrainer:
         data_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         t0 = time.time()
         # host-side step mirror: reading self.state.step costs a ~28 ms
-        # tunnel round trip per chunk (CLAUDE.md), and the occ cadence
+        # tunnel round trip per fit (CLAUDE.md), and the occ cadence
         # only needs the count the host already knows
-        base_step = int(self.state.step)
+        if self._host_step is None:
+            self._host_step = int(self.state.step)
+        base_step = self._host_step
         # fold the resume step into the stream so interleaved fit() calls
         # (n_steps loops, CCNeRF level cycling, interactive stepping)
         # draw fresh per-chunk keys instead of replaying the first call's
@@ -541,8 +550,14 @@ class NGPTrainer:
                     )
         if pending is not None:
             absorb(pending)
-        for h in self.history[hist_start:]:   # one deferred sync
-            h["loss"] = float(h["loss"])
+        self._host_step = base_step + n_chunks * cfg.steps_per_chunk
+        ent = self.history[hist_start:]
+        if ent:
+            # ONE stacked transfer for the whole fit: per-entry float()
+            # costs a ~28 ms round trip EACH through the tunnel
+            vals = np.asarray(jnp.stack([h["loss"] for h in ent]))
+            for h, v in zip(ent, vals):
+                h["loss"] = float(v)
         return self.state
 
     # ------------------------------------------------------------------
@@ -615,6 +630,7 @@ class NGPTrainer:
         self.state = jax.device_put(
             NGPTrainState(params, opt_state, jnp.int32(d["step"]), ema), rep
         )
+        self._host_step = int(d["step"])  # host int from the pickle
         self.occ = jax.device_put(
             OccupancyState(
                 jnp.asarray(d["occ_density"]), jnp.float32(d["occ_mean"]),
