@@ -446,12 +446,15 @@ def bench_ngp():
     t, sampler, tcfg = _ngp_trainer(log2=19)
     t.fit(sampler, verbose=False)  # 48 steps incl. compile
 
-    t.cfg = tcfg._replace(max_steps=96)
+    # 96-step reps: a real run is 30k steps in ONE fit call, so per-call
+    # costs (first-chunk host sampling, the stacked loss sync) amortize
+    # to ~0 — short reps overweight them (32-step reps read ~6% low)
+    t.cfg = tcfg._replace(max_steps=48 + 3 * 96)
     reps = 3
     dt, spread = _rep_stats(
-        lambda i: t.fit(sampler, verbose=False, n_steps=32),
+        lambda i: t.fit(sampler, verbose=False, n_steps=96),
         reps, lambda _: jax.block_until_ready(t.state.params["sigma_net"]))
-    rps = reps * 32 * tcfg.batch_rays / dt / max(len(jax.devices()), 1)
+    rps = reps * 96 * tcfg.batch_rays / dt / max(len(jax.devices()), 1)
     emit("ngp_train_rays_per_sec_per_chip", rps, "rays/s/chip",
          rps / 397312.0,
          baseline="external: torch-ngp -O lego 97 it/s x 4096 rays on "

@@ -357,27 +357,44 @@ def ngp_render_rays(
     xyz = jnp.clip(xyz, -cfg.bound, cfg.bound)
     occ_mask = occupancy_lookup(occ, xyz, cfg) & hit[:, None]  # [N, S]
 
-    # Compaction: move occupied candidates (already depth-ordered) first.
+    # Compaction: keep K of the occupied candidates (already depth-
+    # ordered).  When more than K are occupied the keep is STRATIFIED —
+    # rank floor((k+0.5)*n_occ/K) — not first-K: a saturated grid (the
+    # bootstrap state; trunc_exp inits the field at sigma~1 everywhere
+    # and the EMA-max grid update needs ~90 refreshes to forget it)
+    # would otherwise pin all K samples to the nearest eighth of the
+    # ray, and training collapses to per-view billboards at each
+    # camera's box entry: train PSNR climbs, novel views render fog
+    # (r5 golden-fixture diagnosis; torch-ngp never sees this because
+    # its raymarching walks up to 1024 steps through the whole AABB,
+    # raymarching.py march_rays_train).  Once the grid converges to
+    # <=K occupied per ray the strided keep IS first-K.
+    kidx = jnp.arange(K, dtype=jnp.float32)
     if cfg.compaction == "onehot":
-        # Rank arithmetic instead of a sort network: occupied slot s goes
-        # to position cumsum(m)[s]-1, unoccupied to n_occ + cumsum(!m)-1
-        # (exactly the stable-argsort order).  zk is then a [K]x[S]
-        # one-hot contraction per ray that fuses with the compare — no
-        # O(S log^2 S) sorting, and mk is just k < n_occ.
+        # Rank arithmetic instead of a sort network: occupied slot s
+        # (cumulative index c) is kept iff c-1 matches a target rank;
+        # the [K]x[S] one-hot contraction fuses with the compare — no
+        # O(S log^2 S) sorting.
         mf = occ_mask.astype(jnp.float32)
         c_occ = jnp.cumsum(mf, axis=-1)                       # [N, S]
         n_occ = c_occ[:, -1:]
-        c_un = jnp.cumsum(1.0 - mf, axis=-1)
-        dest = jnp.where(occ_mask, c_occ - 1.0, n_occ + c_un - 1.0)
-        kidx = jnp.arange(K, dtype=jnp.float32)
-        sel = (dest[:, None, :] == kidx[None, :, None])       # [N, K, S]
+        ranks = jnp.where(n_occ > K,
+                          jnp.floor((kidx[None, :] + 0.5) * n_occ / K),
+                          kidx[None, :])                      # [N, K]
+        sel = occ_mask[:, None, :] & (
+            (c_occ - 1.0)[:, None, :] == ranks[:, :, None])   # [N, K, S]
         zk = jnp.sum(jnp.where(sel, z[:, None, :], 0.0), -1)  # [N, K]
         mk = kidx[None, :] < n_occ                            # [N, K]
     else:
         order = jnp.argsort(jnp.logical_not(occ_mask), axis=-1,
-                            stable=True)[:, :K]
-        zk = jnp.take_along_axis(z, order, axis=-1)               # [N, K]
-        mk = jnp.take_along_axis(occ_mask, order, axis=-1)        # [N, K]
+                            stable=True)                      # [N, S]
+        n_occ = jnp.sum(occ_mask, axis=-1, keepdims=True)     # [N, 1]
+        ranks = jnp.where(n_occ > K,
+                          jnp.floor((kidx[None, :] + 0.5) * n_occ / K),
+                          kidx[None, :]).astype(jnp.int32)    # [N, K]
+        keep = jnp.take_along_axis(order, ranks, axis=-1)     # [N, K]
+        zk = jnp.take_along_axis(z, keep, axis=-1)                # [N, K]
+        mk = jnp.take_along_axis(occ_mask, keep, axis=-1)         # [N, K]
     xyzk = rays_o[:, None, :] + rays_d[:, None, :] * zk[..., None]
     xyzk = jnp.clip(xyzk, -cfg.bound, cfg.bound)
 
@@ -389,6 +406,9 @@ def ngp_render_rays(
     sigma = jnp.where(mk, sigma, 0.0)
 
     deltas = zk[:, 1:] - zk[:, :-1]
+    # the LAST kept sample (next slot invalid) integrates over the tail
+    # delta, matching the reference's final-step dt (march_rays_train)
+    deltas = jnp.where(mk[:, 1:], deltas, sample_dist[:, None])
     deltas = jnp.concatenate([deltas, sample_dist[:, None]], -1)
     deltas = jnp.where(mk, jnp.maximum(deltas, 0.0), 0.0)
 
